@@ -1,0 +1,16 @@
+"""Test configuration: force an 8-device virtual CPU mesh before JAX initializes.
+
+Multi-chip sharding tests run on host-platform virtual devices (SURVEY.md §4), so the
+suite never needs real TPU hardware.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", False)
