@@ -1,0 +1,249 @@
+"""Conditional flow matching: training objective + Euler ODE sampler.
+
+Parity target: reference `src/f5_tts/model/cfm.py`. TPU-first reformulation:
+
+- ``sample`` is ONE jit region per (batch, max_duration) bucket: the Euler loop is a
+  ``lax.scan``; classifier-free guidance doubles the batch instead of calling the
+  transformer twice per step (`cfm.py:159-173`); the text embedding for both CFG
+  branches is computed once before the scan (replacing the mutable cache at
+  `backbones/dit.py:202-212`).
+- Per-sample seeded noise reproduces the *semantics* of `cfm.py:178-183` (identical
+  noise stream for every sample and any batch size) via one shared normal draw.
+- The sway-warped time grid `t + s(cos(pi t/2) - 1 + t)` (`cfm.py:193-195`) produces
+  non-uniform Euler steps: dt comes from grid differences.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from eraxvif5tts_tpu.configs import MelSpecConfig
+from eraxvif5tts_tpu.models.dit import DiT
+from eraxvif5tts_tpu.ops.masks import lens_to_mask, mask_from_frac_lengths
+from eraxvif5tts_tpu.ops.stft import MelSpectrogram
+
+Params = Any
+
+
+@dataclass(frozen=True)
+class SamplingConfig:
+    """Defaults per reference `infer/utils_infer.py:57-62`."""
+
+    steps: int = 32
+    cfg_strength: float = 2.0
+    sway_sampling_coef: Optional[float] = -1.0
+    max_duration: int = 4096
+
+
+def sway_time_grid(steps: int, sway_coef: Optional[float], t_start: float = 0.0) -> jnp.ndarray:
+    t = jnp.linspace(t_start, 1.0, steps + 1, dtype=jnp.float32)
+    if sway_coef is not None:
+        t = t + sway_coef * (jnp.cos(jnp.pi / 2.0 * t) - 1.0 + t)
+    return t
+
+
+@dataclass(frozen=True)
+class CFM:
+    """Functional CFM wrapper around a DiT-style backbone.
+
+    Holds no state: parameters are explicit pytrees, all methods are pure and
+    jit-friendly. ``transformer`` is the flax module (DiT/UNetT/MMDiT).
+    """
+
+    transformer: DiT
+    mel_spec: MelSpectrogram = MelSpectrogram()
+    audio_drop_prob: float = 0.35  # reference `cfm.py:42`
+    cond_drop_prob: float = 0.25  # reference `cfm.py:43`
+    frac_lengths_mask: tuple[float, float] = (0.7, 1.0)
+
+    @classmethod
+    def build(cls, transformer: DiT, mel_cfg: MelSpecConfig | None = None, **kw) -> "CFM":
+        mel_cfg = mel_cfg or MelSpecConfig()
+        mel = MelSpectrogram(
+            n_fft=mel_cfg.n_fft,
+            hop_length=mel_cfg.hop_length,
+            win_length=mel_cfg.win_length,
+            n_mel_channels=mel_cfg.n_mel_channels,
+            target_sample_rate=mel_cfg.target_sample_rate,
+            mel_spec_type=mel_cfg.mel_spec_type,
+        )
+        return cls(transformer=transformer, mel_spec=mel, **kw)
+
+    @property
+    def num_channels(self) -> int:
+        return self.transformer.mel_dim
+
+    # ------------------------------------------------------------------
+    # Initialization
+
+    def init_params(self, rng: jax.Array, seq_len: int = 64, text_len: int = 16) -> Params:
+        x = jnp.zeros((1, seq_len, self.num_channels))
+        cond = jnp.zeros_like(x)
+        text = jnp.zeros((1, text_len), jnp.int32)
+        time = jnp.zeros((1,))
+        return jax.jit(self.transformer.init)(rng, x, cond, text, time)["params"]
+
+    # ------------------------------------------------------------------
+    # Training objective (reference `cfm.py:210-283`)
+
+    def loss(
+        self,
+        params: Params,
+        mel: jnp.ndarray,  # [b, n, d] log-mel frames (host converts raw waves)
+        text: jnp.ndarray,  # [b, nt] int ids, -1 padded
+        lens: jnp.ndarray,  # [b]
+        rng: jax.Array,
+        deterministic: bool = False,
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Masked-span infilling flow-matching loss. Returns (loss, cond, pred)."""
+        b, n, d = mel.shape
+        k_frac, k_span, k_x0, k_t, k_drop_a, k_drop_c, k_dropout = jax.random.split(rng, 7)
+
+        mask = lens_to_mask(lens, n)
+        lo, hi = self.frac_lengths_mask
+        frac = jax.random.uniform(k_frac, (b,), minval=lo, maxval=hi)
+        rand_span_mask = mask_from_frac_lengths(lens, frac, n, k_span) & mask
+
+        x1 = mel
+        x0 = jax.random.normal(k_x0, x1.shape, x1.dtype)
+        time = jax.random.uniform(k_t, (b,), dtype=x1.dtype)
+        t = time[:, None, None]
+        xt = (1.0 - t) * x0 + t * x1
+        flow = x1 - x0
+
+        cond = jnp.where(rand_span_mask[..., None], 0.0, x1)
+
+        # CFG drops: one Bernoulli per step, shared across the batch (`cfm.py:266-271`).
+        drop_audio = jax.random.uniform(k_drop_a, ()) < self.audio_drop_prob
+        drop_cond = jax.random.uniform(k_drop_c, ()) < self.cond_drop_prob
+        drop_audio = drop_audio | drop_cond
+        drop_text = drop_cond
+        drop_audio_b = jnp.broadcast_to(drop_audio, (b,))
+        drop_text_b = jnp.broadcast_to(drop_text, (b,))
+
+        pred = self.transformer.apply(
+            {"params": params},
+            xt,
+            cond,
+            text,
+            time,
+            drop_audio_cond=drop_audio_b,
+            drop_text=drop_text_b,
+            deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": k_dropout},
+        )
+
+        # Mean of squared error over (masked positions x channels) (`cfm.py:280-282`).
+        se = jnp.square(pred - flow)  # [b, n, d]
+        weight = rand_span_mask[..., None].astype(se.dtype)
+        loss = jnp.sum(se * weight) / jnp.maximum(jnp.sum(weight) * d, 1.0)
+        return loss, cond, pred
+
+    # ------------------------------------------------------------------
+    # Sampling (reference `cfm.py:82-208`)
+
+    @functools.partial(
+        jax.jit,
+        static_argnames=(
+            "self",
+            "steps",
+            "cfg_strength",
+            "sway_sampling_coef",
+            "max_duration",
+            "use_cfg",
+        ),
+    )
+    def sample(
+        self,
+        params: Params,
+        cond: jnp.ndarray,  # [b, n_cond, d] mel frames (already padded to <= max_duration)
+        text: jnp.ndarray,  # [b, nt]
+        duration: jnp.ndarray,  # [b] total frames (prompt + generated)
+        lens: jnp.ndarray,  # [b] valid prompt frames
+        key: jax.Array,
+        steps: int = 32,
+        cfg_strength: float = 2.0,
+        sway_sampling_coef: Optional[float] = -1.0,
+        max_duration: int = 4096,
+        use_cfg: bool = True,
+        edit_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Integrate noise -> mel. Returns ``[b, max_duration, d]``; frames beyond each
+        sample's ``duration`` are zero, the prompt region is pasted back from ``cond``.
+        """
+        b, n_cond, d = cond.shape
+        assert d == self.num_channels
+
+        # duration >= max(text_len, lens) + 1, capped (`cfm.py:132-135`)
+        text_lens = jnp.sum(text != -1, axis=-1)
+        duration = jnp.maximum(jnp.maximum(text_lens, lens) + 1, duration)
+        duration = jnp.clip(duration, None, max_duration)
+
+        cond = jnp.pad(cond.astype(jnp.float32), ((0, 0), (0, max_duration - n_cond), (0, 0)))
+        cond_mask = lens_to_mask(lens, max_duration)
+        if edit_mask is not None:
+            em = edit_mask
+            if em.shape[-1] < max_duration:
+                em = jnp.pad(em, ((0, 0), (0, max_duration - em.shape[-1])))
+            cond_mask = cond_mask & em
+        step_cond = jnp.where(cond_mask[..., None], cond, 0.0)
+
+        frame_mask = lens_to_mask(duration, max_duration)  # [b, max_duration]
+
+        # Batch-size-invariant noise: one stream, shared by every sample (`cfm.py:178-183`).
+        noise = jax.random.normal(key, (max_duration, d), jnp.float32)
+        y0 = jnp.broadcast_to(noise[None], (b, max_duration, d))
+        y0 = jnp.where(frame_mask[..., None], y0, 0.0)
+
+        t_grid = sway_time_grid(steps, sway_sampling_coef)
+
+        # Text embeddings once, outside the Euler loop.
+        apply = functools.partial(self.transformer.apply, {"params": params})
+        embed_text = functools.partial(
+            self.transformer.apply, {"params": params}, method=DiT.embed_text
+        )
+        false_b = jnp.zeros((b,), bool)
+        true_b = jnp.ones((b,), bool)
+
+        if use_cfg and cfg_strength > 1e-5:
+            te_cond = embed_text(text, max_duration, false_b)
+            te_uncond = embed_text(text, max_duration, true_b)
+            text_embed2 = jnp.concatenate([te_cond, te_uncond], axis=0)
+            step_cond2 = jnp.concatenate([step_cond, step_cond], axis=0)
+            drop_audio2 = jnp.concatenate([false_b, true_b], axis=0)
+            mask2 = jnp.concatenate([frame_mask, frame_mask], axis=0)
+
+            def flow_fn(x, t_scalar):
+                x2 = jnp.concatenate([x, x], axis=0)
+                time2 = jnp.broadcast_to(t_scalar, (2 * b,))
+                pred2 = apply(
+                    x2, step_cond2, text_embed2, time2, drop_audio2, mask2,
+                    method=DiT.run,
+                )
+                pred, null_pred = pred2[:b], pred2[b:]
+                return pred + (pred - null_pred) * cfg_strength
+        else:
+            te_cond = embed_text(text, max_duration, false_b)
+
+            def flow_fn(x, t_scalar):
+                time = jnp.broadcast_to(t_scalar, (b,))
+                return apply(
+                    x, step_cond, te_cond, time, false_b, frame_mask, method=DiT.run
+                )
+
+        def euler_step(x, idx):
+            t_k = t_grid[idx]
+            dt = t_grid[idx + 1] - t_k
+            v = flow_fn(x, t_k)
+            return x + dt * v, None
+
+        y_final, _ = jax.lax.scan(euler_step, y0, jnp.arange(steps))
+
+        out = jnp.where(cond_mask[..., None], cond, y_final)
+        out = jnp.where(frame_mask[..., None], out, 0.0)
+        return out

@@ -1,0 +1,205 @@
+"""DiT backbone (flax.linen), parity with reference
+`src/f5_tts/model/backbones/dit.py` but structured for single-trace CFG.
+
+TPU-first differences from the reference:
+- ``drop_audio_cond`` / ``drop_text`` are per-sample boolean *arrays*, so classifier-
+  free guidance runs the cond and uncond branches as ONE transformer call on a
+  doubled batch (replacing the two sequential calls at reference `cfm.py:159-173`).
+- The text embedding is exposed as a separate method so the ODE sampler computes it
+  once outside the ``lax.scan`` Euler loop (replacing the mutable text cache of
+  `dit.py:202-212`).
+- Rotary angle tables are trace-time constants per static sequence bucket.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from eraxvif5tts_tpu.configs import ArchConfig
+from eraxvif5tts_tpu.models.modules import (
+    AdaLayerNormFinal,
+    ConvNeXtV2Block,
+    ConvPositionEmbedding,
+    DiTBlock,
+    TimestepEmbedding,
+)
+from eraxvif5tts_tpu.ops.rotary import abs_pos_embedding_table, rotary_freqs
+
+MAX_POS = 4096  # sequence cap, ~44 s @ 24 kHz hop 256 (reference `dit.py:41`, `cfm.py:93`)
+
+
+class TextEmbedding(nn.Module):
+    """Char-id embedding + abs sin position + ConvNeXtV2 stack (`dit.py:32-79`).
+
+    ``text`` ids are the -1-padded tokenizer output; +1 shifts them so 0 is the filler
+    token. ``drop_text`` (bool array [b]) zeroes the ids for the CFG uncond branch.
+    """
+
+    text_num_embeds: int
+    text_dim: int
+    mask_padding: bool = True
+    conv_layers: int = 0
+    conv_mult: int = 2
+
+    @nn.compact
+    def __call__(self, text: jnp.ndarray, seq_len: int, drop_text: jnp.ndarray) -> jnp.ndarray:
+        text = text + 1  # 0 becomes the filler token
+        text = text[:, :seq_len]
+        pad = seq_len - text.shape[1]
+        if pad > 0:
+            text = jnp.pad(text, ((0, 0), (0, pad)))
+        drop_text = jnp.asarray(drop_text)
+        if drop_text.ndim == 0:
+            drop_text = jnp.broadcast_to(drop_text, (text.shape[0],))
+        text = jnp.where(drop_text[:, None], 0, text)
+
+        filler_mask = text == 0  # padding + filler positions
+
+        embed = nn.Embed(self.text_num_embeds + 1, self.text_dim, name="embed")(text)
+
+        if self.conv_layers > 0:
+            table = jnp.asarray(abs_pos_embedding_table(self.text_dim, MAX_POS))
+            embed = embed + table[:seq_len][None, :, :]
+            if self.mask_padding:
+                embed = jnp.where(filler_mask[..., None], 0.0, embed)
+                for i in range(self.conv_layers):
+                    embed = ConvNeXtV2Block(
+                        self.text_dim, self.text_dim * self.conv_mult, name=f"conv_{i}"
+                    )(embed)
+                    embed = jnp.where(filler_mask[..., None], 0.0, embed)
+            else:
+                for i in range(self.conv_layers):
+                    embed = ConvNeXtV2Block(
+                        self.text_dim, self.text_dim * self.conv_mult, name=f"conv_{i}"
+                    )(embed)
+        return embed
+
+
+class InputEmbedding(nn.Module):
+    """Linear(cat(x, cond, text)) + conv position embedding (`dit.py:85-97`)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray,
+        text_embed: jnp.ndarray,
+        drop_audio_cond: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        drop_audio_cond = jnp.asarray(drop_audio_cond)
+        if drop_audio_cond.ndim == 0:
+            drop_audio_cond = jnp.broadcast_to(drop_audio_cond, (x.shape[0],))
+        cond = jnp.where(drop_audio_cond[:, None, None], 0.0, cond)
+        x = nn.Dense(self.out_dim, name="proj")(
+            jnp.concatenate([x, cond, text_embed], axis=-1)
+        )
+        x = ConvPositionEmbedding(self.out_dim, name="conv_pos_embed")(x, mask=mask) + x
+        return x
+
+
+class DiT(nn.Module):
+    """Flow-prediction DiT: ``(x, cond, text, t) -> flow [b, n, mel]`` (`dit.py:103-233`)."""
+
+    arch: ArchConfig
+    text_num_embeds: int = 256
+    mel_dim: int = 100
+
+    @property
+    def text_dim(self) -> int:
+        return self.arch.text_dim if self.arch.text_dim is not None else self.mel_dim
+
+    def setup(self):
+        a = self.arch
+        self.time_embed = TimestepEmbedding(a.dim, name="time_embed")
+        self.text_embed = TextEmbedding(
+            self.text_num_embeds,
+            self.text_dim,
+            mask_padding=a.text_mask_padding,
+            conv_layers=a.conv_layers,
+            name="text_embed",
+        )
+        self.input_embed = InputEmbedding(a.dim, name="input_embed")
+        # Rematerialization trades FLOPs for HBM on the backward pass
+        # (reference `dit.py:221-223` uses torch activation checkpointing).
+        block_cls = nn.remat(DiTBlock, static_argnums=(4,)) if a.checkpoint_activations else DiTBlock
+        self.blocks = [
+            block_cls(
+                dim=a.dim,
+                heads=a.heads,
+                dim_head=a.dim_head,
+                ff_mult=a.ff_mult,
+                dropout=a.dropout,
+                qk_norm=a.qk_norm,
+                pe_attn_head=a.pe_attn_head,
+                name=f"block_{i}",
+            )
+            for i in range(a.depth)
+        ]
+        if a.long_skip_connection:
+            self.long_skip = nn.Dense(a.dim, use_bias=False, name="long_skip")
+        self.norm_out = AdaLayerNormFinal(a.dim, name="norm_out")
+        self.proj_out = nn.Dense(
+            self.mel_dim,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="proj_out",
+        )
+
+    def embed_text(self, text: jnp.ndarray, seq_len: int, drop_text) -> jnp.ndarray:
+        """Standalone text embedding for out-of-loop CFG caching."""
+        return self.text_embed(text, seq_len, drop_text)
+
+    def run(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray,
+        text_embed: jnp.ndarray,
+        time: jnp.ndarray,
+        drop_audio_cond,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Forward from a precomputed text embedding (the ODE-loop hot path)."""
+        batch, seq_len = x.shape[0], x.shape[1]
+        if time.ndim == 0:
+            time = jnp.broadcast_to(time, (batch,))
+        t = self.time_embed(time)
+        h = self.input_embed(x, cond, text_embed, drop_audio_cond, mask=mask)
+
+        rope = rotary_freqs(seq_len, self.arch.dim_head)
+
+        if self.arch.long_skip_connection:
+            residual = h
+
+        for block in self.blocks:
+            h = block(h, t, mask, rope, deterministic)
+
+        if self.arch.long_skip_connection:
+            h = self.long_skip(jnp.concatenate([h, residual], axis=-1))
+
+        h = self.norm_out(h, t)
+        return self.proj_out(h)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray,
+        text: jnp.ndarray,
+        time: jnp.ndarray,
+        drop_audio_cond=False,
+        drop_text=False,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        seq_len = x.shape[1]
+        text_embed = self.text_embed(text, seq_len, drop_text)
+        return self.run(
+            x, cond, text_embed, time, drop_audio_cond, mask=mask, deterministic=deterministic
+        )

@@ -1,0 +1,311 @@
+"""NN building blocks (flax.linen), semantics-parity with reference
+`src/f5_tts/model/modules.py:146-731` but written functional-first for XLA.
+
+Conventions:
+- All sequence tensors are ``[b, n, d]``.
+- Params live in float32; ``compute_dtype`` (bf16 on TPU) is applied by callers.
+- Dropout layers exist wherever the reference has them (attention-weight dropout 0.1,
+  projection/FF dropout — `modules.py:490,343,367,611`); inference passes
+  ``deterministic=True``.
+- Boolean masks mark VALID positions.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from eraxvif5tts_tpu.ops.attention import dot_product_attention
+from eraxvif5tts_tpu.ops.rotary import apply_rotary
+
+
+class SinusPositionEmbedding(nn.Module):
+    """Sinusoidal embedding with scale=1000 (`modules.py:149-161`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, scale: float = 1000.0) -> jnp.ndarray:
+        half = self.dim // 2
+        freqs = jnp.exp(
+            jnp.arange(half, dtype=jnp.float32) * -(math.log(10000.0) / (half - 1))
+        )
+        args = scale * x[:, None].astype(jnp.float32) * freqs[None, :]
+        return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+class TimestepEmbedding(nn.Module):
+    """Sinus embedding -> MLP (`modules.py:721-731`)."""
+
+    dim: int
+    freq_embed_dim: int = 256
+
+    @nn.compact
+    def __call__(self, timestep: jnp.ndarray) -> jnp.ndarray:
+        hidden = SinusPositionEmbedding(self.freq_embed_dim, name="sinus")(timestep)
+        hidden = nn.Dense(self.dim, name="mlp_in")(hidden)
+        hidden = nn.silu(hidden)
+        return nn.Dense(self.dim, name="mlp_out")(hidden)
+
+
+class GRN(nn.Module):
+    """Global response normalization over the sequence axis (`modules.py:225-234`)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        gamma = self.param("gamma", nn.initializers.zeros, (1, 1, self.dim))
+        beta = self.param("beta", nn.initializers.zeros, (1, 1, self.dim))
+        gx = jnp.sqrt(jnp.sum(jnp.square(x), axis=1, keepdims=True))  # L2 over n
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + 1e-6)
+        return gamma * (x * nx) + beta + x
+
+
+def _depthwise_conv1d(x: jnp.ndarray, kernel: jnp.ndarray, bias: jnp.ndarray,
+                      dilation: int = 1) -> jnp.ndarray:
+    """Depthwise conv over ``x [b, n, d]`` with ``kernel [k, 1, d]`` and SAME padding."""
+    d = x.shape[-1]
+    k = kernel.shape[0]
+    pad = (dilation * (k - 1)) // 2
+    out = jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(1,),
+        padding=((pad, pad),),
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=d,
+    )
+    return out + bias
+
+
+class ConvNeXtV2Block(nn.Module):
+    """Depthwise conv7 -> LN -> pw -> GELU -> GRN -> pw, residual (`modules.py:241-269`)."""
+
+    dim: int
+    intermediate_dim: int
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        residual = x
+        kernel = self.param(
+            "dwconv_kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+            (7, 1, self.dim),
+        )
+        bias = self.param("dwconv_bias", nn.initializers.zeros, (self.dim,))
+        x = _depthwise_conv1d(x, kernel, bias, self.dilation)
+        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
+        x = nn.Dense(self.intermediate_dim, name="pwconv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = GRN(self.intermediate_dim, name="grn")(x)
+        x = nn.Dense(self.dim, name="pwconv2")(x)
+        return residual + x
+
+
+class ConvPositionEmbedding(nn.Module):
+    """2x grouped conv1d(k=31, groups=16) + Mish (`modules.py:167-190`)."""
+
+    dim: int
+    kernel_size: int = 31
+    groups: int = 16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, 0.0)
+        for name in ("conv1", "conv2"):
+            x = nn.Conv(
+                self.dim,
+                kernel_size=(self.kernel_size,),
+                padding=self.kernel_size // 2,
+                feature_group_count=self.groups,
+                name=name,
+            )(x)
+            x = x * jnp.tanh(jax.nn.softplus(x))  # Mish
+        if mask is not None:
+            x = jnp.where(mask[..., None], x, 0.0)
+        return x
+
+
+class RMSNorm(nn.Module):
+    """RMS norm with learnable scale (`modules.py:275-294`)."""
+
+    dim: int
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        weight = self.param("weight", nn.initializers.ones, (self.dim,))
+        var = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True)
+        x = (x * jax.lax.rsqrt(var + self.eps).astype(x.dtype))
+        return x * weight
+
+
+class AdaLayerNorm(nn.Module):
+    """AdaLN-zero: SiLU -> Linear -> 6-way modulation (`modules.py:301-315`).
+
+    The modulation linear is zero-initialized (`backbones/dit.py:162-167`) so a fresh
+    DiT block is an identity + zero-gated residual.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray):
+        mod = nn.Dense(
+            self.dim * 6,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="linear",
+        )(nn.silu(emb))
+        shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+        normed = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        out = normed * (1 + scale_msa[:, None]) + shift_msa[:, None]
+        return out, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+class AdaLayerNormFinal(nn.Module):
+    """Final AdaLN: 2-way (scale, shift) modulation (`modules.py:322-336`).
+
+    Note the chunk order is (scale, shift) — opposite of ``AdaLayerNorm``.
+    """
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
+        mod = nn.Dense(
+            self.dim * 2,
+            kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros,
+            name="linear",
+        )(nn.silu(emb))
+        scale, shift = jnp.split(mod, 2, axis=-1)
+        normed = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        return normed * (1 + scale[:, None]) + shift[:, None]
+
+
+class FeedForward(nn.Module):
+    """Linear -> tanh-GELU -> dropout -> Linear (`modules.py:342-353`)."""
+
+    dim: int
+    mult: int = 4
+    dropout: float = 0.1
+    dim_out: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        inner = int(self.dim * self.mult)
+        x = nn.Dense(inner, name="project_in")(x)
+        x = nn.gelu(x, approximate=True)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return nn.Dense(self.dim_out or self.dim, name="project_out")(x)
+
+
+class Attention(nn.Module):
+    """Self-attention with optional qk-RMSNorm, rotary on the first ``pe_attn_head``
+    heads, padding mask, and train-time attention dropout (`modules.py:360-503`)."""
+
+    dim: int
+    heads: int = 8
+    dim_head: int = 64
+    dropout: float = 0.1
+    qk_norm: Optional[str] = None
+    pe_attn_head: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        rope: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, n, _ = x.shape
+        inner = self.heads * self.dim_head
+        q = nn.Dense(inner, name="to_q")(x).reshape(b, n, self.heads, self.dim_head)
+        k = nn.Dense(inner, name="to_k")(x).reshape(b, n, self.heads, self.dim_head)
+        v = nn.Dense(inner, name="to_v")(x).reshape(b, n, self.heads, self.dim_head)
+
+        if self.qk_norm == "rms_norm":
+            q = RMSNorm(self.dim_head, name="q_norm")(q)
+            k = RMSNorm(self.dim_head, name="k_norm")(k)
+        elif self.qk_norm is not None:
+            raise ValueError(f"unimplemented qk_norm: {self.qk_norm!r}")
+
+        if rope is not None:
+            if self.pe_attn_head is not None:
+                pn = self.pe_attn_head
+                # heads axis is 2 here ([b, n, h, d]); rotate first pn heads only
+                q = q.at[:, :, :pn].set(apply_rotary(q[:, :, :pn].swapaxes(1, 2), rope).swapaxes(1, 2))
+                k = k.at[:, :, :pn].set(apply_rotary(k[:, :, :pn].swapaxes(1, 2), rope).swapaxes(1, 2))
+            else:
+                q = apply_rotary(q.swapaxes(1, 2), rope).swapaxes(1, 2)
+                k = apply_rotary(k.swapaxes(1, 2), rope).swapaxes(1, 2)
+
+        if self.dropout > 0.0 and not deterministic:
+            # Train path: explicit softmax so attention-weight dropout matches
+            # SDPA(dropout_p=0.1) (`modules.py:490`).
+            scale = 1.0 / jnp.sqrt(jnp.asarray(self.dim_head, jnp.float32))
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+            if mask is not None:
+                neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
+                logits = jnp.where(mask[:, None, None, :], logits, neg)
+            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
+            weights = nn.Dropout(self.dropout)(weights, deterministic=False)
+            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+        else:
+            out = dot_product_attention(q, k, v, key_valid=mask)
+
+        out = out.reshape(b, n, inner)
+        out = nn.Dense(self.dim, name="to_out")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if mask is not None:
+            out = jnp.where(mask[..., None], out, 0.0)
+        return out
+
+
+class DiTBlock(nn.Module):
+    """AdaLN-zero pre-norm attention + gated FF (`modules.py:610-641`)."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    ff_mult: int = 4
+    dropout: float = 0.1
+    qk_norm: Optional[str] = None
+    pe_attn_head: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        rope: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(self.dim, name="attn_norm")(x, t)
+        attn_out = Attention(
+            dim=self.dim,
+            heads=self.heads,
+            dim_head=self.dim_head,
+            dropout=self.dropout,
+            qk_norm=self.qk_norm,
+            pe_attn_head=self.pe_attn_head,
+            name="attn",
+        )(norm, mask=mask, rope=rope, deterministic=deterministic)
+        x = x + gate_msa[:, None] * attn_out
+
+        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
+        norm = norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+        ff_out = FeedForward(self.dim, mult=self.ff_mult, dropout=self.dropout, name="ff")(
+            norm, deterministic=deterministic
+        )
+        return x + gate_mlp[:, None] * ff_out
