@@ -1,0 +1,371 @@
+"""F5TTSWrapper — the flagship zero-shot voice-cloning API.
+
+Signature/semantics parity with the reference wrapper
+(`src/f5_tts/infer/f5tts_wrapper.py:28-621`): ``__init__`` /
+``preprocess_reference`` / ``generate`` / ``get_current_audio_length``, the
+``max_chars = ref_bytes / ref_sec * (22 - ref_sec)`` chunking rule (`:459-461`), the
+short-text speed=0.3 rule (`:473-475`), the byte-ratio duration formula (`:500-503`),
+RMS normalization and cross-fade merging.
+
+TPU-first differences:
+- Reference state is an immutable ``ReferenceState`` value that can be passed
+  per-call — fixing the shared-wrapper-state race the reference server has
+  (SURVEY.md §5 "race detection").
+- All device work (mel, DiT ODE, vocoder) runs inside jitted functions over static
+  duration buckets; repeated calls hit cached executables.
+- mel -> waveform happens on-device (native Vocos), no host round trip per chunk.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import random as _random
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eraxvif5tts_tpu.audio.io import read_wav, write_wav
+from eraxvif5tts_tpu.audio.resample import resample
+from eraxvif5tts_tpu.audio.silence import clip_reference_audio
+from eraxvif5tts_tpu.compression.convert import (
+    dit_params_from_torch,
+    infer_depth,
+    infer_text_num_embeds,
+    load_state_dict,
+    normalize_reference_state_dict,
+    vocos_params_from_torch,
+)
+from eraxvif5tts_tpu.configs import PRESETS, ModelConfig, load_model_config
+from eraxvif5tts_tpu.infer.utils import (
+    DURATION_BUCKETS,
+    TEXT_BUCKETS,
+    byte_ratio_duration,
+    cross_fade_concat,
+    pick_bucket,
+    rms_of,
+)
+from eraxvif5tts_tpu.models.cfm import CFM
+from eraxvif5tts_tpu.models.dit import DiT
+from eraxvif5tts_tpu.models.vocos import Vocos
+from eraxvif5tts_tpu.ops.stft import MelSpectrogram
+from eraxvif5tts_tpu.text.pinyin import convert_char_to_pinyin
+from eraxvif5tts_tpu.text.chunk import chunk_text
+from eraxvif5tts_tpu.text.tokenizer import get_tokenizer, list_str_to_idx
+
+
+@dataclass(frozen=True)
+class ReferenceState:
+    """Preprocessed reference prompt. Immutable; safe to share across requests."""
+
+    mel: jnp.ndarray  # [1, n_frames, n_mels] on device
+    text: str
+    n_frames: int
+    audio_len_samples: int
+    rms: float
+
+    @property
+    def audio_seconds(self) -> float:
+        return self.audio_len_samples / 24000.0
+
+
+class F5TTSWrapper:
+    """Zero-shot voice cloning: reference audio+text -> arbitrary speech."""
+
+    def __init__(
+        self,
+        model_name: str = "F5TTS_v1_Base",
+        ckpt_path: Optional[str] = None,
+        vocab_file: Optional[str] = None,
+        vocab_char_map: Optional[dict[str, int]] = None,
+        vocoder_ckpt_path: Optional[str] = None,
+        use_ema: bool = True,
+        target_rms: float = 0.1,
+        target_sample_rate: int = 24000,
+        hop_length: int = 256,
+        # default sampling parameters (reference `f5tts_wrapper.py:192-199`)
+        nfe_step: int = 32,
+        cfg_strength: float = 2.0,
+        sway_sampling_coef: float = -1.0,
+        speed: float = 1.0,
+        use_duration_predictor: bool = False,
+        duration_predictor_ckpt: Optional[str] = None,
+        compute_dtype: str = "float32",
+        params: Optional[dict] = None,
+        vocoder_params: Optional[dict] = None,
+        model_cfg: Optional[ModelConfig] = None,
+        duration_buckets: tuple[int, ...] = DURATION_BUCKETS,
+        text_buckets: tuple[int, ...] = TEXT_BUCKETS,
+    ):
+        # "custom" model names are yaml paths (reference `f5tts_wrapper.py:128-131`)
+        if model_cfg is not None:
+            cfg = model_cfg
+        elif model_name in PRESETS:
+            cfg = PRESETS[model_name]
+        elif model_name.endswith((".yaml", ".yml")):
+            cfg = load_model_config(model_name)
+        else:
+            raise ValueError(f"unknown model {model_name!r} (not a preset or yaml path)")
+
+        if vocab_char_map is not None:
+            self.vocab_char_map = vocab_char_map
+        elif vocab_file is not None:
+            self.vocab_char_map, _ = get_tokenizer(vocab_file, "custom")
+        else:
+            self.vocab_char_map = None
+
+        self.target_rms = target_rms
+        self.target_sample_rate = target_sample_rate
+        self.hop_length = hop_length
+        self.nfe_step = nfe_step
+        self.cfg_strength = cfg_strength
+        self.sway_sampling_coef = sway_sampling_coef
+        self.speed = speed
+        self.use_duration_predictor = use_duration_predictor
+        self.compute_dtype = compute_dtype
+        self.duration_buckets = duration_buckets
+        self.text_buckets = text_buckets
+
+        # Build model; resolve vocab size from map or checkpoint.
+        sd = None
+        if ckpt_path is not None:
+            sd = normalize_reference_state_dict(load_state_dict(ckpt_path), use_ema=use_ema)
+            depth = infer_depth(sd) or cfg.arch.depth
+            if depth != cfg.arch.depth:
+                cfg = dataclasses.replace(cfg, arch=dataclasses.replace(cfg.arch, depth=depth))
+            text_num_embeds = infer_text_num_embeds(sd)
+        else:
+            text_num_embeds = len(self.vocab_char_map) if self.vocab_char_map else 256
+
+        self.config = cfg
+        import jax.numpy as _jnp
+        cdtype = _jnp.bfloat16 if compute_dtype == "bfloat16" else _jnp.float32
+        self.transformer = DiT(
+            arch=cfg.arch,
+            text_num_embeds=text_num_embeds,
+            mel_dim=cfg.mel_spec.n_mel_channels,
+            compute_dtype=cdtype,
+        )
+        self.cfm = CFM.build(self.transformer, cfg.mel_spec)
+        self.mel_spec = self.cfm.mel_spec
+
+        if params is not None:
+            self.params = params
+        elif sd is not None:
+            self.params = dit_params_from_torch(
+                sd,
+                depth=cfg.arch.depth,
+                conv_layers=cfg.arch.conv_layers,
+                qk_norm=cfg.arch.qk_norm == "rms_norm",
+                long_skip=cfg.arch.long_skip_connection,
+            )
+        else:
+            self.params = self.cfm.init_params(jax.random.key(0))
+        if compute_dtype == "bfloat16":
+            self.params = jax.tree.map(lambda p: p.astype(cdtype), self.params)
+
+        self.vocoder = Vocos(
+            input_channels=cfg.mel_spec.n_mel_channels,
+            n_fft=cfg.mel_spec.n_fft,
+            hop_length=cfg.mel_spec.hop_length,
+        )
+        if vocoder_params is not None:
+            self.vocoder_params = vocoder_params
+        elif vocoder_ckpt_path is not None:
+            self.vocoder_params = vocos_params_from_torch(load_state_dict(vocoder_ckpt_path))
+        else:
+            self.vocoder_params = jax.jit(self.vocoder.init)(
+                jax.random.key(1), jnp.zeros((1, cfg.mel_spec.n_mel_channels, 8))
+            )["params"]
+
+        self.duration_predictor = None
+        self.duration_predictor_params = None
+        if duration_predictor_ckpt is not None:
+            from eraxvif5tts_tpu.models.duration import load_duration_predictor
+
+            self.duration_predictor, self.duration_predictor_params, self.phoneme_map = (
+                load_duration_predictor(duration_predictor_ckpt)
+            )
+
+        self._mel_jit = jax.jit(self.mel_spec.__call__)
+        self._vocode_jit = jax.jit(
+            lambda mel: self.vocoder.apply({"params": self.vocoder_params}, mel)
+        )
+        self.ref: Optional[ReferenceState] = None
+        self._last_wave: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------
+
+    def preprocess_reference(
+        self,
+        ref_audio_path: Optional[str] = None,
+        ref_text: str = "",
+        clip_short: bool = True,
+        ref_audio: Optional[np.ndarray] = None,
+        ref_sample_rate: Optional[int] = None,
+    ) -> ReferenceState:
+        """Load + clip + normalize the reference prompt, compute its mel on device.
+
+        Parity: reference `f5tts_wrapper.py:256-354` (12 s clipping cascade, edge
+        trimming, RMS normalization, resampling, trailing-punctuation fixup).
+        """
+        if ref_audio is None:
+            if ref_audio_path is None:
+                raise ValueError("need ref_audio_path or ref_audio")
+            wav, sr = read_wav(ref_audio_path)
+            wav = wav.mean(axis=0)  # downmix
+        else:
+            wav = np.asarray(ref_audio, dtype=np.float32).reshape(-1)
+            sr = ref_sample_rate or self.target_sample_rate
+
+        wav = clip_reference_audio(wav, sr, clip_short=clip_short)
+
+        rms = rms_of(wav)
+        if rms < self.target_rms and rms > 0:
+            wav = wav * (self.target_rms / rms)
+        if sr != self.target_sample_rate:
+            wav = resample(wav, sr, self.target_sample_rate)
+
+        if ref_text and not ref_text.endswith(". ") and not ref_text.endswith("。"):
+            ref_text = ref_text + " " if ref_text.endswith(".") else ref_text + ". "
+
+        # Trim to a whole number of hops so mel frames align exactly.
+        n_frames = len(wav) // self.hop_length
+        wav = wav[: n_frames * self.hop_length]
+        mel = self._mel_jit(jnp.asarray(wav[None]))  # [1, n_mels, n+1]
+        mel = mel.swapaxes(1, 2)[:, :n_frames]  # [1, n_frames, n_mels]
+
+        state = ReferenceState(
+            mel=mel,
+            text=ref_text,
+            n_frames=n_frames,
+            audio_len_samples=len(wav),
+            rms=rms,
+        )
+        self.ref = state
+        return state
+
+    # ------------------------------------------------------------------
+
+    def _duration_for(self, ref: ReferenceState, gen_text: str, speed: float,
+                      fix_duration: Optional[float]) -> int:
+        if fix_duration is not None:
+            return int(fix_duration * self.target_sample_rate / self.hop_length)
+        if self.use_duration_predictor and self.duration_predictor is not None:
+            from eraxvif5tts_tpu.models.duration import predict_duration_frames
+
+            frames = predict_duration_frames(
+                self.duration_predictor, self.duration_predictor_params,
+                self.phoneme_map, gen_text,
+            )
+            if frames > 0:
+                return ref.n_frames + int(frames / speed)
+        return byte_ratio_duration(
+            ref.n_frames, ref.text, gen_text, speed,
+            hop_length=self.hop_length, sample_rate=self.target_sample_rate,
+        )
+
+    def generate(
+        self,
+        text: str,
+        output_path: Optional[str] = None,
+        ref: Optional[ReferenceState] = None,
+        nfe_step: Optional[int] = None,
+        cfg_strength: Optional[float] = None,
+        speed: Optional[float] = None,
+        sway_sampling_coef: Optional[float] = None,
+        fix_duration: Optional[float] = None,
+        cross_fade_duration: float = 0.15,
+        seed: Optional[int] = None,
+        return_numpy: bool = False,
+        return_spectrogram: bool = False,
+        use_pinyin: bool = True,
+    ):
+        """Synthesize ``text`` in the reference voice.
+
+        Returns the output path (when ``output_path`` given), else the waveform numpy
+        array (and optionally the mel spectrogram).
+        """
+        ref = ref or self.ref
+        if ref is None:
+            raise RuntimeError("call preprocess_reference() first or pass ref=")
+        nfe_step = nfe_step if nfe_step is not None else self.nfe_step
+        cfg_strength = cfg_strength if cfg_strength is not None else self.cfg_strength
+        speed = speed if speed is not None else self.speed
+        sway = sway_sampling_coef if sway_sampling_coef is not None else self.sway_sampling_coef
+
+        # chunking rule (`f5tts_wrapper.py:459-461`)
+        ref_sec = max(ref.audio_seconds, 1e-3)
+        max_chars = int(
+            len(ref.text.encode("utf-8")) / ref_sec * max(22.0 - ref_sec, 1.0)
+        )
+        chunks = chunk_text(text, max_chars=max(max_chars, 16))
+
+        key = jax.random.key(seed if seed is not None else _random.randrange(2**31))
+
+        waves: list[np.ndarray] = []
+        mels: list[np.ndarray] = []
+        for chunk in chunks:
+            local_speed = 0.3 if len(chunk.encode("utf-8")) < 10 else speed
+            full_text = ref.text + chunk
+            tokens = (
+                convert_char_to_pinyin([full_text])
+                if use_pinyin
+                else [list(full_text)]
+            )
+            if self.vocab_char_map is None:
+                raise RuntimeError("wrapper needs a vocab (vocab_file/vocab_char_map)")
+
+            duration = self._duration_for(ref, chunk, local_speed, fix_duration)
+            duration = max(duration, ref.n_frames + 1)
+            bucket = pick_bucket(max(duration, ref.n_frames + 1), self.duration_buckets)
+            text_bucket = pick_bucket(len(tokens[0]), self.text_buckets)
+            text_ids = list_str_to_idx(tokens, self.vocab_char_map, pad_to=text_bucket)
+
+            out = self.cfm.sample(
+                self.params,
+                ref.mel,
+                jnp.asarray(text_ids),
+                jnp.asarray([min(duration, bucket)]),
+                jnp.asarray([ref.n_frames]),
+                key,
+                steps=nfe_step,
+                cfg_strength=float(cfg_strength),
+                sway_sampling_coef=float(sway) if sway is not None else None,
+                max_duration=bucket,
+            )  # [1, bucket, n_mels]
+
+            wave = self._vocode_jit(out.swapaxes(1, 2))  # [1, (bucket-1)*hop]
+            wave_np = np.asarray(wave[0], dtype=np.float32)
+            start = ref.n_frames * self.hop_length
+            end = min(duration, bucket) * self.hop_length
+            wave_np = wave_np[start:end]
+            if ref.rms < self.target_rms and ref.rms > 0:
+                wave_np = wave_np * (ref.rms / self.target_rms)
+            waves.append(wave_np)
+            if return_spectrogram:
+                mels.append(np.asarray(out[0, ref.n_frames : min(duration, bucket)]).T)
+
+        final = cross_fade_concat(waves, self.target_sample_rate, cross_fade_duration)
+        self._last_wave = final
+
+        if output_path is not None:
+            write_wav(output_path, final, self.target_sample_rate)
+            if return_spectrogram and mels:
+                return output_path, np.concatenate(mels, axis=1)
+            return output_path
+        if return_spectrogram and mels:
+            return final, np.concatenate(mels, axis=1)
+        if return_numpy:
+            return final
+        return final
+
+    # ------------------------------------------------------------------
+
+    def get_current_audio_length(self) -> float:
+        """Seconds of the most recently generated audio (`f5tts_wrapper.py:609-614`)."""
+        if self._last_wave is None:
+            return 0.0
+        return len(self._last_wave) / self.target_sample_rate

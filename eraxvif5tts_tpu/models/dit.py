@@ -13,7 +13,7 @@ TPU-first differences from the reference:
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -44,6 +44,7 @@ class TextEmbedding(nn.Module):
     mask_padding: bool = True
     conv_layers: int = 0
     conv_mult: int = 2
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, text: jnp.ndarray, seq_len: int, drop_text: jnp.ndarray) -> jnp.ndarray:
@@ -60,21 +61,24 @@ class TextEmbedding(nn.Module):
         filler_mask = text == 0  # padding + filler positions
 
         embed = nn.Embed(self.text_num_embeds + 1, self.text_dim, name="embed")(text)
+        embed = embed.astype(self.dtype)
 
         if self.conv_layers > 0:
-            table = jnp.asarray(abs_pos_embedding_table(self.text_dim, MAX_POS))
+            table = jnp.asarray(abs_pos_embedding_table(self.text_dim, MAX_POS), self.dtype)
             embed = embed + table[:seq_len][None, :, :]
             if self.mask_padding:
                 embed = jnp.where(filler_mask[..., None], 0.0, embed)
                 for i in range(self.conv_layers):
                     embed = ConvNeXtV2Block(
-                        self.text_dim, self.text_dim * self.conv_mult, name=f"conv_{i}"
+                        self.text_dim, self.text_dim * self.conv_mult,
+                        dtype=self.dtype, name=f"conv_{i}"
                     )(embed)
                     embed = jnp.where(filler_mask[..., None], 0.0, embed)
             else:
                 for i in range(self.conv_layers):
                     embed = ConvNeXtV2Block(
-                        self.text_dim, self.text_dim * self.conv_mult, name=f"conv_{i}"
+                        self.text_dim, self.text_dim * self.conv_mult,
+                        dtype=self.dtype, name=f"conv_{i}"
                     )(embed)
         return embed
 
@@ -83,6 +87,7 @@ class InputEmbedding(nn.Module):
     """Linear(cat(x, cond, text)) + conv position embedding (`dit.py:85-97`)."""
 
     out_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -97,10 +102,10 @@ class InputEmbedding(nn.Module):
         if drop_audio_cond.ndim == 0:
             drop_audio_cond = jnp.broadcast_to(drop_audio_cond, (x.shape[0],))
         cond = jnp.where(drop_audio_cond[:, None, None], 0.0, cond)
-        x = nn.Dense(self.out_dim, name="proj")(
-            jnp.concatenate([x, cond, text_embed], axis=-1)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="proj")(
+            jnp.concatenate([x, cond, text_embed], axis=-1).astype(self.dtype)
         )
-        x = ConvPositionEmbedding(self.out_dim, name="conv_pos_embed")(x, mask=mask) + x
+        x = ConvPositionEmbedding(self.out_dim, dtype=self.dtype, name="conv_pos_embed")(x, mask=mask) + x
         return x
 
 
@@ -110,6 +115,7 @@ class DiT(nn.Module):
     arch: ArchConfig
     text_num_embeds: int = 256
     mel_dim: int = 100
+    compute_dtype: Any = jnp.float32
 
     @property
     def text_dim(self) -> int:
@@ -117,15 +123,16 @@ class DiT(nn.Module):
 
     def setup(self):
         a = self.arch
-        self.time_embed = TimestepEmbedding(a.dim, name="time_embed")
+        self.time_embed = TimestepEmbedding(a.dim, dtype=self.compute_dtype, name="time_embed")
         self.text_embed = TextEmbedding(
             self.text_num_embeds,
             self.text_dim,
             mask_padding=a.text_mask_padding,
             conv_layers=a.conv_layers,
+            dtype=self.compute_dtype,
             name="text_embed",
         )
-        self.input_embed = InputEmbedding(a.dim, name="input_embed")
+        self.input_embed = InputEmbedding(a.dim, dtype=self.compute_dtype, name="input_embed")
         # Rematerialization trades FLOPs for HBM on the backward pass
         # (reference `dit.py:221-223` uses torch activation checkpointing).
         block_cls = nn.remat(DiTBlock, static_argnums=(4,)) if a.checkpoint_activations else DiTBlock
@@ -138,13 +145,14 @@ class DiT(nn.Module):
                 dropout=a.dropout,
                 qk_norm=a.qk_norm,
                 pe_attn_head=a.pe_attn_head,
+                dtype=self.compute_dtype,
                 name=f"block_{i}",
             )
             for i in range(a.depth)
         ]
         if a.long_skip_connection:
-            self.long_skip = nn.Dense(a.dim, use_bias=False, name="long_skip")
-        self.norm_out = AdaLayerNormFinal(a.dim, name="norm_out")
+            self.long_skip = nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype, name="long_skip")
+        self.norm_out = AdaLayerNormFinal(a.dim, dtype=self.compute_dtype, name="norm_out")
         self.proj_out = nn.Dense(
             self.mel_dim,
             kernel_init=nn.initializers.zeros,
@@ -170,6 +178,9 @@ class DiT(nn.Module):
         batch, seq_len = x.shape[0], x.shape[1]
         if time.ndim == 0:
             time = jnp.broadcast_to(time, (batch,))
+        x = x.astype(self.compute_dtype)
+        cond = cond.astype(self.compute_dtype)
+        text_embed = text_embed.astype(self.compute_dtype)
         t = self.time_embed(time)
         h = self.input_embed(x, cond, text_embed, drop_audio_cond, mask=mask)
 
@@ -185,7 +196,7 @@ class DiT(nn.Module):
             h = self.long_skip(jnp.concatenate([h, residual], axis=-1))
 
         h = self.norm_out(h, t)
-        return self.proj_out(h)
+        return self.proj_out(h).astype(jnp.float32)
 
     def __call__(
         self,

@@ -13,7 +13,7 @@ Conventions:
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
@@ -43,13 +43,14 @@ class TimestepEmbedding(nn.Module):
 
     dim: int
     freq_embed_dim: int = 256
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, timestep: jnp.ndarray) -> jnp.ndarray:
         hidden = SinusPositionEmbedding(self.freq_embed_dim, name="sinus")(timestep)
-        hidden = nn.Dense(self.dim, name="mlp_in")(hidden)
+        hidden = nn.Dense(self.dim, dtype=self.dtype, name="mlp_in")(hidden)
         hidden = nn.silu(hidden)
-        return nn.Dense(self.dim, name="mlp_out")(hidden)
+        return nn.Dense(self.dim, dtype=self.dtype, name="mlp_out")(hidden)
 
 
 class GRN(nn.Module):
@@ -89,6 +90,7 @@ class ConvNeXtV2Block(nn.Module):
     dim: int
     intermediate_dim: int
     dilation: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -99,12 +101,15 @@ class ConvNeXtV2Block(nn.Module):
             (7, 1, self.dim),
         )
         bias = self.param("dwconv_bias", nn.initializers.zeros, (self.dim,))
-        x = _depthwise_conv1d(x, kernel, bias, self.dilation)
-        x = nn.LayerNorm(epsilon=1e-6, name="norm")(x)
-        x = nn.Dense(self.intermediate_dim, name="pwconv1")(x)
+        x = _depthwise_conv1d(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            bias.astype(self.dtype), self.dilation,
+        )
+        x = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm")(x)
+        x = nn.Dense(self.intermediate_dim, dtype=self.dtype, name="pwconv1")(x)
         x = nn.gelu(x, approximate=False)
         x = GRN(self.intermediate_dim, name="grn")(x)
-        x = nn.Dense(self.dim, name="pwconv2")(x)
+        x = nn.Dense(self.dim, dtype=self.dtype, name="pwconv2")(x)
         return residual + x
 
 
@@ -114,6 +119,7 @@ class ConvPositionEmbedding(nn.Module):
     dim: int
     kernel_size: int = 31
     groups: int = 16
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
@@ -125,6 +131,7 @@ class ConvPositionEmbedding(nn.Module):
                 kernel_size=(self.kernel_size,),
                 padding=self.kernel_size // 2,
                 feature_group_count=self.groups,
+                dtype=self.dtype,
                 name=name,
             )(x)
             x = x * jnp.tanh(jax.nn.softplus(x))  # Mish
@@ -155,6 +162,7 @@ class AdaLayerNorm(nn.Module):
     """
 
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray):
@@ -162,10 +170,11 @@ class AdaLayerNorm(nn.Module):
             self.dim * 6,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="linear",
         )(nn.silu(emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
-        normed = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        normed = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)(x)
         out = normed * (1 + scale_msa[:, None]) + shift_msa[:, None]
         return out, gate_msa, shift_mlp, scale_mlp, gate_mlp
 
@@ -177,6 +186,7 @@ class AdaLayerNormFinal(nn.Module):
     """
 
     dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, emb: jnp.ndarray) -> jnp.ndarray:
@@ -184,10 +194,11 @@ class AdaLayerNormFinal(nn.Module):
             self.dim * 2,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
             name="linear",
         )(nn.silu(emb))
         scale, shift = jnp.split(mod, 2, axis=-1)
-        normed = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6)(x)
+        normed = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)(x)
         return normed * (1 + scale[:, None]) + shift[:, None]
 
 
@@ -198,14 +209,15 @@ class FeedForward(nn.Module):
     mult: int = 4
     dropout: float = 0.1
     dim_out: Optional[int] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         inner = int(self.dim * self.mult)
-        x = nn.Dense(inner, name="project_in")(x)
+        x = nn.Dense(inner, dtype=self.dtype, name="project_in")(x)
         x = nn.gelu(x, approximate=True)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        return nn.Dense(self.dim_out or self.dim, name="project_out")(x)
+        return nn.Dense(self.dim_out or self.dim, dtype=self.dtype, name="project_out")(x)
 
 
 class Attention(nn.Module):
@@ -218,6 +230,7 @@ class Attention(nn.Module):
     dropout: float = 0.1
     qk_norm: Optional[str] = None
     pe_attn_head: Optional[int] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -229,9 +242,9 @@ class Attention(nn.Module):
     ) -> jnp.ndarray:
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, name="to_q")(x).reshape(b, n, self.heads, self.dim_head)
-        k = nn.Dense(inner, name="to_k")(x).reshape(b, n, self.heads, self.dim_head)
-        v = nn.Dense(inner, name="to_v")(x).reshape(b, n, self.heads, self.dim_head)
+        q = nn.Dense(inner, dtype=self.dtype, name="to_q")(x).reshape(b, n, self.heads, self.dim_head)
+        k = nn.Dense(inner, dtype=self.dtype, name="to_k")(x).reshape(b, n, self.heads, self.dim_head)
+        v = nn.Dense(inner, dtype=self.dtype, name="to_v")(x).reshape(b, n, self.heads, self.dim_head)
 
         if self.qk_norm == "rms_norm":
             q = RMSNorm(self.dim_head, name="q_norm")(q)
@@ -264,7 +277,7 @@ class Attention(nn.Module):
             out = dot_product_attention(q, k, v, key_valid=mask)
 
         out = out.reshape(b, n, inner)
-        out = nn.Dense(self.dim, name="to_out")(out)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         if mask is not None:
             out = jnp.where(mask[..., None], out, 0.0)
@@ -281,6 +294,7 @@ class DiTBlock(nn.Module):
     dropout: float = 0.1
     qk_norm: Optional[str] = None
     pe_attn_head: Optional[int] = None
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -291,7 +305,9 @@ class DiTBlock(nn.Module):
         rope: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(self.dim, name="attn_norm")(x, t)
+        norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
+            self.dim, dtype=self.dtype, name="attn_norm"
+        )(x, t)
         attn_out = Attention(
             dim=self.dim,
             heads=self.heads,
@@ -299,13 +315,14 @@ class DiTBlock(nn.Module):
             dropout=self.dropout,
             qk_norm=self.qk_norm,
             pe_attn_head=self.pe_attn_head,
+            dtype=self.dtype,
             name="attn",
         )(norm, mask=mask, rope=rope, deterministic=deterministic)
         x = x + gate_msa[:, None] * attn_out
 
-        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, name="ff_norm")(x)
+        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype, name="ff_norm")(x)
         norm = norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-        ff_out = FeedForward(self.dim, mult=self.ff_mult, dropout=self.dropout, name="ff")(
+        ff_out = FeedForward(self.dim, mult=self.ff_mult, dropout=self.dropout, dtype=self.dtype, name="ff")(
             norm, deterministic=deterministic
         )
         return x + gate_mlp[:, None] * ff_out

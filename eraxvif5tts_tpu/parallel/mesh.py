@@ -1,0 +1,107 @@
+"""Mesh + sharding layer (the TPU-native replacement for the reference's
+Accelerate/NCCL DDP plumbing — SURVEY.md §2.7).
+
+Design:
+- A 2-D logical mesh ``(data, model)``. Pure data parallelism is ``model=1`` (the
+  reference's only strategy); setting ``model>1`` turns on tensor parallelism for the
+  DiT matmuls via GSPMD sharding annotations — XLA inserts the all-reduces over ICI.
+- Parameters are sharded by *name-pattern rules* (no model-code changes): attention
+  q/k/v and FF input projections are column-sharded, output projections row-sharded,
+  everything else replicated.
+- Gradient reduction across ``data`` falls out of pjit: batch in, replicated grads
+  out => psum over ICI.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_data: int | None = None,
+    n_model: int = 1,
+    devices: list | None = None,
+) -> Mesh:
+    """Build a ``(data, model)`` mesh over the available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n_total = len(devices)
+    if n_data is None:
+        assert n_total % n_model == 0, f"{n_total} devices not divisible by model={n_model}"
+        n_data = n_total // n_model
+    assert n_data * n_model == n_total, (
+        f"mesh {n_data}x{n_model} != {n_total} devices"
+    )
+    dev_array = np.asarray(devices).reshape(n_data, n_model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+# (regex over '/'-joined param path, PartitionSpec) — first match wins.
+# Column-parallel: shard the output features; row-parallel: shard the input features.
+_TP_RULES: list[tuple[str, P]] = [
+    (r"attn/to_[qkv]/kernel$", P(None, "model")),
+    (r"attn/to_[qkv]/bias$", P("model")),
+    (r"attn/to_out/kernel$", P("model", None)),
+    (r"ff/project_in/kernel$", P(None, "model")),
+    (r"ff/project_in/bias$", P("model")),
+    (r"ff/project_out/kernel$", P("model", None)),
+    # AdaLN modulation produces 6*dim outputs consumed elementwise -> shard outputs
+    # only when they stay local; keep replicated for correctness of the 6-way split.
+]
+
+
+def param_sharding_rules(path: str) -> P:
+    """PartitionSpec for a param path like ``block_0/attn/to_q/kernel``."""
+    for pattern, spec in _TP_RULES:
+        if re.search(pattern, path):
+            return spec
+    return P()  # replicated
+
+
+def _path_str(key_path) -> str:
+    parts = []
+    for k in key_path:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
+def param_shardings(mesh: Mesh, params: Any, use_tp: bool = True) -> Any:
+    """Pytree of NamedShardings matching ``params``."""
+    def spec_for(key_path, leaf):
+        if not use_tp or mesh.shape.get("model", 1) == 1:
+            return NamedSharding(mesh, P())
+        spec = param_sharding_rules(_path_str(key_path))
+        # only shard if divisible
+        dims = np.asarray(leaf).shape if hasattr(leaf, "shape") else ()
+        resolved = []
+        for axis, name in enumerate(spec):
+            if name == "model" and dims and dims[axis] % mesh.shape["model"] != 0:
+                return NamedSharding(mesh, P())
+            resolved.append(name)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def shard_params(mesh: Mesh, params: Any, use_tp: bool = True) -> Any:
+    """Place params on the mesh according to the TP rules."""
+    shardings = param_shardings(mesh, params, use_tp=use_tp)
+    return jax.tree.map(jax.device_put, params, shardings)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch arrays are sharded along the leading axis over ``data``."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

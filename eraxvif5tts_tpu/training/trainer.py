@@ -1,0 +1,223 @@
+"""Sharded CFM trainer.
+
+Replaces the reference's Accelerate-DDP ``Trainer`` (reference
+`src/f5_tts/model/trainer.py:93-1427`) with a pjit train step over a
+``(data, model)`` mesh:
+
+- AdamW(0.9, 0.98) + warmup -> linear decay (`trainer.py:1184-1188`, `:306-322`)
+  via optax, with global-norm clipping (`:1283`).
+- Gradient all-reduce over ICI falls out of GSPMD (batch sharded on ``data``,
+  params replicated/TP-sharded) — no hand-written comm.
+- EMA (beta 0.9999, update_every 10 — ema_pytorch defaults used at `trainer.py:180`)
+  is updated **in-jit on every shard** instead of main-process-only: cheaper than a
+  gather, and the EMA tree is checkpointed like params.
+- Orbax checkpoints: params/EMA/optimizer/step, `keep_last_n` rotation
+  (`trainer.py:560-597`), resume (`trainer.py:600-827`).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Iterable, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from eraxvif5tts_tpu.models.cfm import CFM
+from eraxvif5tts_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_params
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    ema_params: Any
+
+
+def make_optimizer(
+    learning_rate: float = 7.5e-5,
+    num_warmup_updates: int = 20000,
+    total_updates: int = 1_000_000,
+    max_grad_norm: float = 1.0,
+    b1: float = 0.9,
+    b2: float = 0.98,
+) -> optax.GradientTransformation:
+    """Warmup -> linear decay AdamW, global-norm clipped (reference semantics)."""
+    decay_steps = max(total_updates - num_warmup_updates, 1)
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, learning_rate, max(num_warmup_updates, 1)),
+            optax.linear_schedule(learning_rate, 0.0, decay_steps),
+        ],
+        boundaries=[num_warmup_updates],
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(max_grad_norm),
+        optax.adamw(schedule, b1=b1, b2=b2),
+    )
+
+
+@dataclass
+class Trainer:
+    """Drives the sharded train loop. All device work is one jit per batch bucket."""
+
+    cfm: CFM
+    optimizer: optax.GradientTransformation
+    mesh: Any = None
+    ema_decay: float = 0.9999
+    ema_update_after_step: int = 100
+    ema_update_every: int = 10
+    grad_accumulation_steps: int = 1
+    checkpoint_dir: Optional[str] = None
+    keep_last_n_checkpoints: int = -1
+    duration_loss_fn: Optional[Callable] = None  # optional duration-predictor loss
+
+    def __post_init__(self):
+        if self.mesh is None:
+            self.mesh = make_mesh(n_model=1)
+        self._step_fn = None
+
+    # ------------------------------------------------------------------
+
+    def init_state(self, rng: jax.Array, params: Any | None = None) -> TrainState:
+        params = params if params is not None else self.cfm.init_params(rng)
+        params = shard_params(self.mesh, params)
+        opt_state = jax.jit(self.optimizer.init)(params)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=opt_state,
+            ema_params=jax.tree.map(jnp.copy, params),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _build_step(self):
+        cfm = self.cfm
+        optimizer = self.optimizer
+        ema_decay = self.ema_decay
+        ema_after = self.ema_update_after_step
+        ema_every = self.ema_update_every
+
+        def step_fn(state: TrainState, mel, text, lens, rng):
+            def loss_fn(params):
+                loss, _, _ = cfm.loss(params, mel, text, lens, rng)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            updates, new_opt_state = optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            new_params = optax.apply_updates(state.params, updates)
+            step = state.step + 1
+
+            # EMA: copy until warm, then decay every `ema_every` steps.
+            def ema_update(ema, p):
+                decayed = ema * ema_decay + p * (1.0 - ema_decay)
+                take_copy = step <= ema_after
+                do_update = (step % ema_every == 0) | take_copy
+                new = jnp.where(take_copy, p, decayed)
+                return jnp.where(do_update, new, ema)
+
+            new_ema = jax.tree.map(ema_update, state.ema_params, new_params)
+            grad_norm = optax.global_norm(grads)
+            new_state = TrainState(
+                step=step, params=new_params, opt_state=new_opt_state, ema_params=new_ema
+            )
+            return new_state, {"loss": loss, "grad_norm": grad_norm}
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
+        """One update. ``batch`` = {'mel': [b,n,d], 'text': [b,nt], 'lens': [b]}
+        with static bucketed shapes."""
+        if self._step_fn is None:
+            self._step_fn = self._build_step()
+        with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else _nullcontext():
+            bs = batch_sharding(self.mesh)
+            mel = jax.device_put(batch["mel"], bs)
+            text = jax.device_put(batch["text"], bs)
+            lens = jax.device_put(batch["lens"], bs)
+            return self._step_fn(state, mel, text, lens, rng)
+
+    # ------------------------------------------------------------------
+
+    def train(
+        self,
+        state: TrainState,
+        batches: Iterable[dict],
+        rng: jax.Array,
+        log_every: int = 100,
+        save_per_updates: int = 50000,
+        log_fn: Callable[[int, dict], None] | None = None,
+    ) -> TrainState:
+        for batch in batches:
+            rng, step_rng = jax.random.split(rng)
+            state, metrics = self.train_step(state, batch, step_rng)
+            step = int(state.step)
+            if log_fn is not None and step % log_every == 0:
+                log_fn(step, {k: float(v) for k, v in metrics.items()})
+            if self.checkpoint_dir and save_per_updates and step % save_per_updates == 0:
+                self.save_checkpoint(state)
+        return state
+
+    # ------------------------------------------------------------------
+    # Checkpointing (Orbax)
+
+    def save_checkpoint(self, state: TrainState, last: bool = False) -> str:
+        assert self.checkpoint_dir is not None
+        import orbax.checkpoint as ocp
+
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        step = int(state.step)
+        name = "model_last" if last else f"model_{step}"
+        path = os.path.abspath(os.path.join(self.checkpoint_dir, name))
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path, jax.device_get(state), force=True)
+        ckptr.wait_until_finished()
+        self._rotate_checkpoints()
+        return path
+
+    def _rotate_checkpoints(self):
+        """keep_last_n rotation (`trainer.py:560-597`); model_last is exempt."""
+        n = self.keep_last_n_checkpoints
+        if n is None or n < 0 or not self.checkpoint_dir:
+            return
+        entries = []
+        for d in os.listdir(self.checkpoint_dir):
+            if d.startswith("model_") and d != "model_last":
+                try:
+                    entries.append((int(d.split("_")[1]), d))
+                except ValueError:
+                    continue
+        entries.sort()
+        import shutil
+
+        for _, d in entries[: max(len(entries) - n, 0)]:
+            shutil.rmtree(os.path.join(self.checkpoint_dir, d), ignore_errors=True)
+
+    def load_checkpoint(self, path: str, template: TrainState) -> TrainState:
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        restored = ckptr.restore(os.path.abspath(path), target=jax.device_get(template))
+        params = shard_params(self.mesh, restored.params)
+        ema = shard_params(self.mesh, restored.ema_params)
+        opt = jax.device_put(restored.opt_state, replicated(self.mesh))
+        return TrainState(
+            step=jnp.asarray(restored.step), params=params,
+            opt_state=opt, ema_params=ema,
+        )
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False

@@ -1,0 +1,170 @@
+"""F5TTSWrapper end-to-end tests (tiny model, CPU): API parity semantics, audio
+utilities, duration predictor."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eraxvif5tts_tpu.audio.io import read_wav, write_wav
+from eraxvif5tts_tpu.audio.resample import resample
+from eraxvif5tts_tpu.audio.silence import (
+    clip_reference_audio,
+    detect_leading_silence,
+    remove_silence_edges,
+)
+from eraxvif5tts_tpu.configs import ArchConfig, MelSpecConfig, ModelConfig
+from eraxvif5tts_tpu.infer.utils import byte_ratio_duration, cross_fade_concat, pick_bucket
+from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
+from eraxvif5tts_tpu.models.duration import DurationPredictor
+
+SR = 24000
+
+
+@pytest.fixture(scope="module")
+def tiny_wrapper():
+    cfg = ModelConfig(
+        name="tiny",
+        arch=ArchConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, text_dim=32,
+                        conv_layers=1, dropout=0.0),
+        mel_spec=MelSpecConfig(),
+    )
+    chars = list(" abcdefghijklmnopqrstuvwxyz.,!?")
+    vocab = {c: i for i, c in enumerate(chars)}
+    return F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, nfe_step=2,
+                        duration_buckets=(64, 128), text_buckets=(64, 128))
+
+
+def _make_ref_audio():
+    t = np.arange(SR // 4) / SR  # 0.25 s of tone (small: CPU compiles are slow)
+    return (0.2 * np.sin(2 * np.pi * 180 * t)).astype(np.float32)
+
+
+def test_wrapper_generate_end_to_end(tiny_wrapper):
+    w = tiny_wrapper
+    ref = w.preprocess_reference(ref_audio=_make_ref_audio(), ref_sample_rate=SR,
+                                 ref_text="hello there")
+    assert ref.text.endswith(". ")
+    assert ref.n_frames > 15
+    wave = w.generate("this is a test sentence.", nfe_step=2, seed=0,
+                      return_numpy=True, use_pinyin=False)
+    assert wave.ndim == 1 and len(wave) > 0
+    assert np.isfinite(wave).all()
+    assert w.get_current_audio_length() == pytest.approx(len(wave) / SR)
+
+
+def test_wrapper_seed_determinism(tiny_wrapper):
+    w = tiny_wrapper
+    w.preprocess_reference(ref_audio=_make_ref_audio(), ref_sample_rate=SR,
+                           ref_text="hello there")
+    a = w.generate("same text.", nfe_step=2, seed=42, return_numpy=True, use_pinyin=False)
+    b = w.generate("same text.", nfe_step=2, seed=42, return_numpy=True, use_pinyin=False)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_wrapper_per_request_reference_state(tiny_wrapper):
+    """References are immutable values -> no shared-state race (SURVEY.md §5)."""
+    w = tiny_wrapper
+    ref1 = w.preprocess_reference(ref_audio=_make_ref_audio(), ref_sample_rate=SR,
+                                  ref_text="voice one")
+    ref2 = w.preprocess_reference(ref_audio=_make_ref_audio() * 0.5,
+                                  ref_sample_rate=SR, ref_text="voice two")
+    out1 = w.generate("hi.", ref=ref1, nfe_step=2, seed=1, return_numpy=True, use_pinyin=False)
+    assert w.ref is ref2  # stored state untouched by per-call ref
+    assert len(out1) > 0
+
+
+def test_wrapper_output_file(tiny_wrapper, tmp_path):
+    w = tiny_wrapper
+    w.preprocess_reference(ref_audio=_make_ref_audio(), ref_sample_rate=SR,
+                           ref_text="hello there")
+    path = str(tmp_path / "out.wav")
+    result = w.generate("write me to disk.", output_path=path, nfe_step=2, seed=0,
+                        use_pinyin=False)
+    assert result == path
+    wav, sr = read_wav(path)
+    assert sr == SR and wav.shape[1] > 0
+
+
+# ---------------------------------------------------------------------------
+# infer utils
+
+
+def test_pick_bucket():
+    assert pick_bucket(1) == 256
+    assert pick_bucket(256) == 256
+    assert pick_bucket(257) == 384
+    assert pick_bucket(99999) == 4096
+
+
+def test_byte_ratio_duration():
+    # ref 100 frames, ref text 10 bytes, gen 20 bytes, speed 1 -> 100 + 200
+    assert byte_ratio_duration(100, "a" * 10, "b" * 20, 1.0) == 300
+    assert byte_ratio_duration(100, "a" * 10, "b" * 20, 2.0) == 200
+    assert byte_ratio_duration(100, "a", "b", 1.0, fix_duration=2.0) == int(2.0 * 24000 / 256)
+
+
+def test_cross_fade_concat():
+    a = np.ones(1000, np.float32)
+    b = np.zeros(1000, np.float32)
+    out = cross_fade_concat([a, b], SR, cross_fade_duration=1000 / SR)
+    assert len(out) == 1000  # full overlap
+    out2 = cross_fade_concat([a, b], SR, cross_fade_duration=0)
+    assert len(out2) == 2000
+    out3 = cross_fade_concat([a, b], SR, cross_fade_duration=100 / SR)
+    assert len(out3) == 2000 - 100
+
+
+# ---------------------------------------------------------------------------
+# audio utils
+
+
+def test_wav_roundtrip(tmp_path):
+    wav = (np.sin(np.linspace(0, 100, 2400)) * 0.5).astype(np.float32)
+    path = str(tmp_path / "x.wav")
+    write_wav(path, wav, SR)
+    back, sr = read_wav(path)
+    assert sr == SR
+    np.testing.assert_allclose(back[0], wav, atol=1e-4)
+
+
+def test_resample():
+    wav = np.sin(2 * np.pi * 100 * np.arange(16000) / 16000).astype(np.float32)
+    out = resample(wav, 16000, 24000)
+    assert len(out) == 24000
+    # energy preserved approximately
+    assert abs(np.std(out) - np.std(wav)) < 0.05
+
+
+def test_silence_edges_and_leading():
+    sr = 1000
+    wav = np.concatenate([np.zeros(500), 0.5 * np.ones(1000), np.zeros(500)]).astype(np.float32)
+    lead = detect_leading_silence(wav, sr)
+    assert 400 <= lead <= 510
+    trimmed = remove_silence_edges(wav, sr)
+    assert 950 <= len(trimmed) <= 1100
+
+
+def test_clip_reference_audio_budget():
+    sr = 1000
+    # 20 s of loud audio with a silence gap at 8 s
+    loud = 0.5 * np.ones(8 * sr, np.float32)
+    gap = np.zeros(2 * sr, np.float32)
+    wav = np.concatenate([loud, gap, 0.5 * np.ones(10 * sr, np.float32)])
+    out = clip_reference_audio(wav, sr)
+    assert len(out) <= 12 * sr + sr  # within budget (+50ms pad and keep_silence slack)
+
+
+# ---------------------------------------------------------------------------
+# duration predictor
+
+
+def test_duration_predictor_shapes():
+    dp = DurationPredictor(vocab_size=10)
+    ids = jnp.asarray([[1, 2, 3, 0, 0]])
+    mask = ids > 0
+    params = jax.jit(dp.init)(jax.random.key(0), ids, mask)["params"]
+    logw = jax.jit(dp.apply)({"params": params}, ids, mask)
+    assert logw.shape == (1, 5)
+    assert np.all(np.asarray(logw)[0, 3:] == 0.0)  # masked positions zero
