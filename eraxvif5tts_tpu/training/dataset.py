@@ -1,0 +1,227 @@
+"""Data pipeline: frame-budget batching with XLA-static bucketed shapes.
+
+Parity targets (reference `src/f5_tts/model/dataset.py`):
+- ``CustomDataset`` rows ``{audio_path | mel, text, duration, phoneme}`` backed by an
+  HF-datasets arrow file + ``duration.json`` (`dataset.py:82-165, 245-305`).
+- ``DynamicBatchSampler`` (`dataset.py:168-239`): sort samples by frame length,
+  greedily pack batches up to ``frames_threshold`` frames and ``max_samples``
+  sequences, drop residual if requested, epoch-seeded shuffle of *batches*.
+- ``collate_fn`` (`dataset.py:308-333`): pad mels to the batch max, return text ids,
+  lengths, phonemes.
+
+TPU-first difference: ``collate`` pads the frame axis up to a *bucket* width (the
+next bucket >= batch max) so every batch shape comes from a small static set —
+one compiled train step per bucket instead of one per length (SURVEY.md §2.7
+"frame-budget batching").
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+from eraxvif5tts_tpu.text.tokenizer import list_str_to_idx
+
+TRAIN_FRAME_BUCKETS = (256, 512, 1024, 2048, 4096)
+TRAIN_TEXT_BUCKETS = (64, 128, 256, 512, 1024)
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class Sample:
+    text: str | list[str]
+    duration_frames: int
+    mel: Optional[np.ndarray] = None  # [n, n_mels] precomputed
+    audio_path: Optional[str] = None
+    phoneme: Optional[str] = None
+
+
+class CustomDataset:
+    """Arrow/HF-datasets-backed dataset with optional precomputed mels."""
+
+    def __init__(
+        self,
+        rows,  # HF dataset / list of dicts with text/duration (+ mel_spec | audio_path)
+        durations: Optional[list[float]] = None,
+        hop_length: int = 256,
+        target_sample_rate: int = 24000,
+        preprocessed_mel: bool = False,
+        mel_loader: Optional[Callable[[dict], np.ndarray]] = None,
+    ):
+        self.rows = rows
+        self.hop_length = hop_length
+        self.target_sample_rate = target_sample_rate
+        self.preprocessed_mel = preprocessed_mel
+        self.mel_loader = mel_loader
+        if durations is not None:
+            self.durations = list(durations)
+        else:
+            self.durations = [float(r["duration"]) for r in rows]
+
+    def __len__(self) -> int:
+        return len(self.rows)
+
+    def frame_length(self, idx: int) -> int:
+        return int(self.durations[idx] * self.target_sample_rate / self.hop_length)
+
+    def __getitem__(self, idx: int) -> Sample:
+        row = self.rows[idx]
+        mel = None
+        if self.preprocessed_mel and "mel_spec" in row:
+            mel = np.asarray(row["mel_spec"], dtype=np.float32)
+            if mel.shape[0] != self.frame_length(idx) and mel.shape[0] < mel.shape[-1]:
+                mel = mel.T  # stored [n_mels, n] -> [n, n_mels]
+        elif self.mel_loader is not None:
+            mel = self.mel_loader(row)
+        return Sample(
+            text=row["text"],
+            duration_frames=self.frame_length(idx),
+            mel=mel,
+            audio_path=row.get("audio_path"),
+            phoneme=row.get("phoneme"),
+        )
+
+
+def load_dataset(
+    dataset_name: str,
+    tokenizer: str = "pinyin",
+    dataset_type: str = "CustomDataset",
+    data_dir: str = "./data",
+    mel_spec_kwargs: dict | None = None,
+) -> CustomDataset:
+    """Load ``{data_dir}/{name}_{tokenizer}/raw.arrow`` + ``duration.json``
+    (reference `dataset.py:245-305`)."""
+    import datasets as hf_datasets
+
+    base = os.path.join(data_dir, f"{dataset_name}_{tokenizer}")
+    if not os.path.isdir(base):
+        base = os.path.join(data_dir, dataset_name)
+    arrow = os.path.join(base, "raw.arrow")
+    if os.path.isfile(arrow):
+        rows = hf_datasets.Dataset.from_file(arrow)
+    else:
+        rows = hf_datasets.load_from_disk(os.path.join(base, "raw"))
+    dur_file = os.path.join(base, "duration.json")
+    durations = None
+    if os.path.isfile(dur_file):
+        with open(dur_file, "r", encoding="utf-8") as f:
+            durations = json.load(f)["duration"]
+    kwargs = mel_spec_kwargs or {}
+    return CustomDataset(
+        rows,
+        durations=durations,
+        hop_length=kwargs.get("hop_length", 256),
+        target_sample_rate=kwargs.get("target_sample_rate", 24000),
+    )
+
+
+class DynamicBatchSampler:
+    """Frame-budget batch packer (`dataset.py:168-239`).
+
+    Sorts sample indices by frame length, packs batches up to ``frames_threshold``
+    total frames (and ``max_samples`` sequences), then shuffles the *batches* with an
+    epoch-seeded RNG so every epoch sees a new batch order while keeping
+    length-homogeneous packing (minimal padding per batch).
+    """
+
+    def __init__(
+        self,
+        frame_lengths: Sequence[int],
+        frames_threshold: int,
+        max_samples: int = 0,
+        random_seed: Optional[int] = None,
+        drop_residual: bool = False,
+    ):
+        self.frames_threshold = frames_threshold
+        self.max_samples = max_samples
+        self.random_seed = random_seed
+        indices = sorted(range(len(frame_lengths)), key=lambda i: frame_lengths[i])
+
+        self.batches: list[list[int]] = []
+        batch: list[int] = []
+        batch_frames = 0
+        for idx in indices:
+            frames = frame_lengths[idx]
+            if batch_frames + frames <= frames_threshold and (
+                max_samples == 0 or len(batch) < max_samples
+            ):
+                batch.append(idx)
+                batch_frames += frames
+            else:
+                if batch:
+                    self.batches.append(batch)
+                if frames <= frames_threshold:
+                    batch = [idx]
+                    batch_frames = frames
+                else:  # single over-budget sample gets its own batch
+                    self.batches.append([idx])
+                    batch = []
+                    batch_frames = 0
+        if batch and not drop_residual:
+            self.batches.append(batch)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.batches)
+
+    def __iter__(self) -> Iterator[list[int]]:
+        order = list(range(len(self.batches)))
+        if self.random_seed is not None:
+            random.Random(self.random_seed + self.epoch).shuffle(order)
+        for i in order:
+            yield self.batches[i]
+
+
+def collate(
+    samples: list[Sample],
+    vocab_char_map: dict[str, int],
+    frame_buckets: Sequence[int] = TRAIN_FRAME_BUCKETS,
+    text_buckets: Sequence[int] = TRAIN_TEXT_BUCKETS,
+    tokenize: Optional[Callable[[str | list[str]], list[str]]] = None,
+    pad_batch_to: Optional[int] = None,
+) -> dict[str, np.ndarray]:
+    """Pad a batch to bucketed static shapes -> {'mel', 'text', 'lens'} numpy arrays.
+
+    ``pad_batch_to`` optionally pads the batch axis (repeating the last sample with
+    lens=0 weighting left to the loss mask) so the batch size is also static.
+    """
+    assert all(s.mel is not None for s in samples), "collate needs materialized mels"
+    n_mels = samples[0].mel.shape[-1]
+    max_frames = max(s.mel.shape[0] for s in samples)
+    width = _bucket(max_frames, frame_buckets)
+
+    token_lists = []
+    for s in samples:
+        toks = tokenize(s.text) if tokenize else (
+            list(s.text) if isinstance(s.text, str) else s.text
+        )
+        token_lists.append(toks)
+    max_text = max((len(t) for t in token_lists), default=1)
+    text_width = _bucket(max_text, text_buckets)
+
+    b = len(samples)
+    rows = b if pad_batch_to is None else max(pad_batch_to, b)
+    mel = np.zeros((rows, width, n_mels), np.float32)
+    lens = np.zeros((rows,), np.int32)
+    for i, s in enumerate(samples):
+        n = min(s.mel.shape[0], width)
+        mel[i, :n] = s.mel[:n]
+        lens[i] = n
+    text = np.full((rows, text_width), -1, np.int32)
+    ids = list_str_to_idx(token_lists, vocab_char_map, pad_to=text_width)
+    text[:b, :] = ids
+    return {"mel": mel, "text": text, "lens": lens}
