@@ -184,6 +184,159 @@ def dit_rules(depth: int, conv_layers: int, qk_norm: bool = False,
     return rules
 
 
+def unett_rules(depth: int, conv_layers: int, qk_norm: bool = False,
+                skip_connect_type: str = "concat") -> list[Rule]:
+    """Key map for the UNetT backbone (reference `backbones/unett.py:106-250`;
+    torch layers are ``layers.{i}.{0..4}`` = [skip_proj, attn_norm, attn, ff_norm, ff])."""
+    rules: list[Rule] = [
+        ("time_embed.time_mlp.0.weight", ("time_embed", "mlp_in", "kernel"), _t_linear, _t_linear),
+        ("time_embed.time_mlp.0.bias", ("time_embed", "mlp_in", "bias"), _t_id, _t_id),
+        ("time_embed.time_mlp.2.weight", ("time_embed", "mlp_out", "kernel"), _t_linear, _t_linear),
+        ("time_embed.time_mlp.2.bias", ("time_embed", "mlp_out", "bias"), _t_id, _t_id),
+        ("text_embed.text_embed.weight", ("text_embed", "embed", "embedding"), _t_id, _t_id),
+        ("input_embed.proj.weight", ("input_embed", "proj", "kernel"), _t_linear, _t_linear),
+        ("input_embed.proj.bias", ("input_embed", "proj", "bias"), _t_id, _t_id),
+        ("input_embed.conv_pos_embed.conv1d.0.weight",
+         ("input_embed", "conv_pos_embed", "conv1", "kernel"), _t_conv, _t_conv),
+        ("input_embed.conv_pos_embed.conv1d.0.bias",
+         ("input_embed", "conv_pos_embed", "conv1", "bias"), _t_id, _t_id),
+        ("input_embed.conv_pos_embed.conv1d.2.weight",
+         ("input_embed", "conv_pos_embed", "conv2", "kernel"), _t_conv, _t_conv),
+        ("input_embed.conv_pos_embed.conv1d.2.bias",
+         ("input_embed", "conv_pos_embed", "conv2", "bias"), _t_id, _t_id),
+        ("norm_out.g", ("norm_out", "g"), _t_id, _t_id),
+        ("proj_out.weight", ("proj_out", "kernel"), _t_linear, _t_linear),
+        ("proj_out.bias", ("proj_out", "bias"), _t_id, _t_id),
+    ]
+    for i in range(conv_layers):
+        rules += _convnext_rules(
+            f"text_embed.text_blocks.{i}", ("text_embed", f"conv_{i}"), v2=True
+        )
+    half = depth // 2
+    for i in range(depth):
+        tb = f"layers.{i}"
+        if skip_connect_type == "concat" and i >= half:
+            rules.append((f"{tb}.0.weight", (f"skip_proj_{i}", "kernel"), _t_linear, _t_linear))
+        rules += [
+            (f"{tb}.1.g", (f"attn_norm_{i}", "g"), _t_id, _t_id),
+            (f"{tb}.2.to_q.weight", (f"attn_{i}", "to_q", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.2.to_q.bias", (f"attn_{i}", "to_q", "bias"), _t_id, _t_id),
+            (f"{tb}.2.to_k.weight", (f"attn_{i}", "to_k", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.2.to_k.bias", (f"attn_{i}", "to_k", "bias"), _t_id, _t_id),
+            (f"{tb}.2.to_v.weight", (f"attn_{i}", "to_v", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.2.to_v.bias", (f"attn_{i}", "to_v", "bias"), _t_id, _t_id),
+            (f"{tb}.2.to_out.0.weight", (f"attn_{i}", "to_out", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.2.to_out.0.bias", (f"attn_{i}", "to_out", "bias"), _t_id, _t_id),
+            (f"{tb}.3.g", (f"ff_norm_{i}", "g"), _t_id, _t_id),
+            (f"{tb}.4.ff.0.0.weight", (f"ff_{i}", "project_in", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.4.ff.0.0.bias", (f"ff_{i}", "project_in", "bias"), _t_id, _t_id),
+            (f"{tb}.4.ff.2.weight", (f"ff_{i}", "project_out", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.4.ff.2.bias", (f"ff_{i}", "project_out", "bias"), _t_id, _t_id),
+        ]
+        if qk_norm:
+            rules += [
+                (f"{tb}.2.q_norm.weight", (f"attn_{i}", "q_norm", "weight"), _t_id, _t_id),
+                (f"{tb}.2.k_norm.weight", (f"attn_{i}", "k_norm", "weight"), _t_id, _t_id),
+            ]
+    return rules
+
+
+def mmdit_rules(depth: int, qk_norm: bool = False) -> list[Rule]:
+    """Key map for the MMDiT backbone (reference `backbones/mmdit.py:85-189`)."""
+    rules: list[Rule] = [
+        ("time_embed.time_mlp.0.weight", ("time_embed", "mlp_in", "kernel"), _t_linear, _t_linear),
+        ("time_embed.time_mlp.0.bias", ("time_embed", "mlp_in", "bias"), _t_id, _t_id),
+        ("time_embed.time_mlp.2.weight", ("time_embed", "mlp_out", "kernel"), _t_linear, _t_linear),
+        ("time_embed.time_mlp.2.bias", ("time_embed", "mlp_out", "bias"), _t_id, _t_id),
+        ("text_embed.text_embed.weight", ("text_embed", "embed", "embedding"), _t_id, _t_id),
+        ("audio_embed.linear.weight", ("audio_embed", "linear", "kernel"), _t_linear, _t_linear),
+        ("audio_embed.linear.bias", ("audio_embed", "linear", "bias"), _t_id, _t_id),
+        ("audio_embed.conv_pos_embed.conv1d.0.weight",
+         ("audio_embed", "conv_pos_embed", "conv1", "kernel"), _t_conv, _t_conv),
+        ("audio_embed.conv_pos_embed.conv1d.0.bias",
+         ("audio_embed", "conv_pos_embed", "conv1", "bias"), _t_id, _t_id),
+        ("audio_embed.conv_pos_embed.conv1d.2.weight",
+         ("audio_embed", "conv_pos_embed", "conv2", "kernel"), _t_conv, _t_conv),
+        ("audio_embed.conv_pos_embed.conv1d.2.bias",
+         ("audio_embed", "conv_pos_embed", "conv2", "bias"), _t_id, _t_id),
+        ("norm_out.linear.weight", ("norm_out", "linear", "kernel"), _t_linear, _t_linear),
+        ("norm_out.linear.bias", ("norm_out", "linear", "bias"), _t_id, _t_id),
+        ("proj_out.weight", ("proj_out", "kernel"), _t_linear, _t_linear),
+        ("proj_out.bias", ("proj_out", "bias"), _t_id, _t_id),
+    ]
+    for i in range(depth):
+        tb = f"transformer_blocks.{i}"
+        blk = f"block_{i}"
+        last = i == depth - 1
+        rules += [
+            (f"{tb}.attn_norm_c.linear.weight", (blk, "attn_norm_c", "linear", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.attn_norm_c.linear.bias", (blk, "attn_norm_c", "linear", "bias"), _t_id, _t_id),
+            (f"{tb}.attn_norm_x.linear.weight", (blk, "attn_norm_x", "linear", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.attn_norm_x.linear.bias", (blk, "attn_norm_x", "linear", "bias"), _t_id, _t_id),
+        ]
+        for proj in ("to_q", "to_k", "to_v", "to_q_c", "to_k_c", "to_v_c"):
+            rules += [
+                (f"{tb}.attn.{proj}.weight", (blk, "attn", proj, "kernel"), _t_linear, _t_linear),
+                (f"{tb}.attn.{proj}.bias", (blk, "attn", proj, "bias"), _t_id, _t_id),
+            ]
+        rules += [
+            (f"{tb}.attn.to_out.0.weight", (blk, "attn", "to_out", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.attn.to_out.0.bias", (blk, "attn", "to_out", "bias"), _t_id, _t_id),
+        ]
+        if not last:
+            rules += [
+                (f"{tb}.attn.to_out_c.weight", (blk, "attn", "to_out_c", "kernel"), _t_linear, _t_linear),
+                (f"{tb}.attn.to_out_c.bias", (blk, "attn", "to_out_c", "bias"), _t_id, _t_id),
+                (f"{tb}.ff_c.ff.0.0.weight", (blk, "ff_c", "project_in", "kernel"), _t_linear, _t_linear),
+                (f"{tb}.ff_c.ff.0.0.bias", (blk, "ff_c", "project_in", "bias"), _t_id, _t_id),
+                (f"{tb}.ff_c.ff.2.weight", (blk, "ff_c", "project_out", "kernel"), _t_linear, _t_linear),
+                (f"{tb}.ff_c.ff.2.bias", (blk, "ff_c", "project_out", "bias"), _t_id, _t_id),
+            ]
+        rules += [
+            (f"{tb}.ff_x.ff.0.0.weight", (blk, "ff_x", "project_in", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.ff_x.ff.0.0.bias", (blk, "ff_x", "project_in", "bias"), _t_id, _t_id),
+            (f"{tb}.ff_x.ff.2.weight", (blk, "ff_x", "project_out", "kernel"), _t_linear, _t_linear),
+            (f"{tb}.ff_x.ff.2.bias", (blk, "ff_x", "project_out", "bias"), _t_id, _t_id),
+        ]
+        if qk_norm:
+            for norm in ("q_norm", "k_norm", "c_q_norm", "c_k_norm"):
+                rules.append(
+                    (f"{tb}.attn.{norm}.weight", (blk, "attn", norm, "weight"), _t_id, _t_id)
+                )
+    return rules
+
+
+def backbone_rules(backbone: str, depth: int, conv_layers: int = 4,
+                   qk_norm: bool = False, long_skip: bool = False) -> list[Rule]:
+    if backbone == "DiT":
+        return dit_rules(depth, conv_layers, qk_norm=qk_norm, long_skip=long_skip)
+    if backbone == "UNetT":
+        return unett_rules(depth, conv_layers, qk_norm=qk_norm)
+    if backbone == "MMDiT":
+        return mmdit_rules(depth, qk_norm=qk_norm)
+    raise ValueError(f"unknown backbone {backbone!r}")
+
+
+def backbone_params_from_torch(sd: dict[str, np.ndarray], backbone: str, depth: int,
+                               conv_layers: int = 4, qk_norm: bool = False,
+                               long_skip: bool = False, strict: bool = True) -> dict:
+    sd = normalize_reference_state_dict(sd)
+    prefix = "transformer." if any(k.startswith("transformer.") for k in sd) else ""
+    rules = backbone_rules(backbone, depth, conv_layers, qk_norm, long_skip)
+    return _import_with_rules(sd, rules, torch_prefix=prefix, strict=strict)
+
+
+def backbone_params_to_torch(params: dict, backbone: str, depth: int,
+                             conv_layers: int = 4, qk_norm: bool = False,
+                             long_skip: bool = False, with_prefix: bool = True) -> dict[str, np.ndarray]:
+    rules = backbone_rules(backbone, depth, conv_layers, qk_norm, long_skip)
+    prefix = "transformer." if with_prefix else ""
+    out: dict[str, np.ndarray] = {}
+    for torch_key, flax_path, _, inv in rules:
+        out[prefix + torch_key] = inv(np.asarray(_get_path(params, flax_path)))
+    return out
+
+
 def vocos_rules(num_layers: int = 8) -> list[Rule]:
     rules: list[Rule] = [
         ("backbone.embed.weight", ("embed_kernel",), _t_conv, _t_conv),

@@ -141,21 +141,22 @@ class F5TTSWrapper:
 
         self.config = cfg
         import jax.numpy as _jnp
+
+        from eraxvif5tts_tpu.models import build_backbone
+
         cdtype = _jnp.bfloat16 if compute_dtype == "bfloat16" else _jnp.float32
-        self.transformer = DiT(
-            arch=cfg.arch,
-            text_num_embeds=text_num_embeds,
-            mel_dim=cfg.mel_spec.n_mel_channels,
-            compute_dtype=cdtype,
-        )
+        self.transformer = build_backbone(cfg, text_num_embeds, compute_dtype=cdtype)
         self.cfm = CFM.build(self.transformer, cfg.mel_spec)
         self.mel_spec = self.cfm.mel_spec
 
         if params is not None:
             self.params = params
         elif sd is not None:
-            self.params = dit_params_from_torch(
+            from eraxvif5tts_tpu.compression.convert import backbone_params_from_torch
+
+            self.params = backbone_params_from_torch(
                 sd,
+                backbone=cfg.backbone,
                 depth=cfg.arch.depth,
                 conv_layers=cfg.arch.conv_layers,
                 qk_norm=cfg.arch.qk_norm == "rms_norm",

@@ -205,7 +205,7 @@ class CFM:
         # Text embeddings once, outside the Euler loop.
         apply = functools.partial(self.transformer.apply, {"params": params})
         embed_text = functools.partial(
-            self.transformer.apply, {"params": params}, method=DiT.embed_text
+            self.transformer.apply, {"params": params}, method="embed_text"
         )
         false_b = jnp.zeros((b,), bool)
         true_b = jnp.ones((b,), bool)
@@ -223,7 +223,7 @@ class CFM:
                 time2 = jnp.broadcast_to(t_scalar, (2 * b,))
                 pred2 = apply(
                     x2, step_cond2, text_embed2, time2, drop_audio2, mask2,
-                    method=DiT.run,
+                    method="run",
                 )
                 pred, null_pred = pred2[:b], pred2[b:]
                 return pred + (pred - null_pred) * cfg_strength
@@ -233,7 +233,7 @@ class CFM:
             def flow_fn(x, t_scalar):
                 time = jnp.broadcast_to(t_scalar, (b,))
                 return apply(
-                    x, step_cond, te_cond, time, false_b, frame_mask, method=DiT.run
+                    x, step_cond, te_cond, time, false_b, frame_mask, method="run"
                 )
 
         def euler_step(x, idx):

@@ -1,0 +1,139 @@
+"""UNetT backbone (E2-TTS): flat UNet transformer with skip connections.
+
+Parity with reference `src/f5_tts/model/backbones/unett.py:106-250`: time embedding
+packed as frame 0 (`:215`), pre-RMSNorm attention/FF with residuals (`:243-244`),
+first-half activations stacked and concat+projected into the second half
+(`:222-246`). Same CFG-as-batch and out-of-loop text-embedding reformulation as
+``DiT`` (see `models/dit.py`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from eraxvif5tts_tpu.configs import ArchConfig
+from eraxvif5tts_tpu.models.dit import InputEmbedding, TextEmbedding
+from eraxvif5tts_tpu.models.modules import Attention, FeedForward, TimestepEmbedding
+from eraxvif5tts_tpu.ops.rotary import rotary_freqs
+
+
+class XRMSNorm(nn.Module):
+    """x_transformers-style RMSNorm: ``normalize(x) * sqrt(d) * g``."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        g = self.param("g", nn.initializers.ones, (self.dim,))
+        norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
+        normed = x / jnp.maximum(norm, 1e-12).astype(x.dtype)
+        return normed * (self.dim ** 0.5) * g
+
+
+class UNetT(nn.Module):
+    arch: ArchConfig
+    text_num_embeds: int = 256
+    mel_dim: int = 100
+    skip_connect_type: str = "concat"  # "concat" | "add" | "none"
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def text_dim(self) -> int:
+        return self.arch.text_dim if self.arch.text_dim is not None else self.mel_dim
+
+    def setup(self):
+        a = self.arch
+        assert a.depth % 2 == 0, "UNet-Transformer depth must be even"
+        self.time_embed = TimestepEmbedding(a.dim, dtype=self.compute_dtype, name="time_embed")
+        self.text_embed = TextEmbedding(
+            self.text_num_embeds, self.text_dim,
+            mask_padding=a.text_mask_padding, conv_layers=a.conv_layers,
+            dtype=self.compute_dtype, name="text_embed",
+        )
+        self.input_embed = InputEmbedding(a.dim, dtype=self.compute_dtype, name="input_embed")
+
+        half = a.depth // 2
+        layers = []
+        for idx in range(a.depth):
+            is_later_half = idx >= half
+            layers.append((
+                nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype,
+                         name=f"skip_proj_{idx}")
+                if (self.skip_connect_type == "concat" and is_later_half) else None,
+                XRMSNorm(a.dim, name=f"attn_norm_{idx}"),
+                Attention(dim=a.dim, heads=a.heads, dim_head=a.dim_head,
+                          dropout=a.dropout, qk_norm=a.qk_norm,
+                          pe_attn_head=a.pe_attn_head, dtype=self.compute_dtype,
+                          name=f"attn_{idx}"),
+                XRMSNorm(a.dim, name=f"ff_norm_{idx}"),
+                FeedForward(a.dim, mult=a.ff_mult, dropout=a.dropout,
+                            dtype=self.compute_dtype, name=f"ff_{idx}"),
+            ))
+        self.layers = layers
+        self.norm_out = XRMSNorm(a.dim, name="norm_out")
+        self.proj_out = nn.Dense(self.mel_dim, name="proj_out")
+
+    def embed_text(self, text: jnp.ndarray, seq_len: int, drop_text) -> jnp.ndarray:
+        return self.text_embed(text, seq_len, drop_text)
+
+    def run(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray,
+        text_embed: jnp.ndarray,
+        time: jnp.ndarray,
+        drop_audio_cond,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        batch, seq_len = x.shape[0], x.shape[1]
+        if time.ndim == 0:
+            time = jnp.broadcast_to(time, (batch,))
+        x = x.astype(self.compute_dtype)
+        cond = cond.astype(self.compute_dtype)
+        text_embed = text_embed.astype(self.compute_dtype)
+
+        t = self.time_embed(time)
+        h = self.input_embed(x, cond, text_embed, drop_audio_cond, mask=mask)
+
+        # pack time token as frame 0 (`unett.py:215-217`)
+        h = jnp.concatenate([t[:, None, :], h], axis=1)
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, 0), (1, 0)), constant_values=True)
+
+        rope = rotary_freqs(seq_len + 1, self.arch.dim_head)
+
+        half = self.arch.depth // 2
+        skips = []
+        for idx, (skip_proj, attn_norm, attn, ff_norm, ff) in enumerate(self.layers):
+            if idx < half:
+                skips.append(h)
+            else:
+                skip = skips.pop()
+                if self.skip_connect_type == "concat":
+                    h = skip_proj(jnp.concatenate([h, skip], axis=-1))
+                elif self.skip_connect_type == "add":
+                    h = h + skip
+            h = attn(attn_norm(h), mask=mask, rope=rope, deterministic=deterministic) + h
+            h = ff(ff_norm(h), deterministic=deterministic) + h
+
+        h = self.norm_out(h)[:, 1:, :]  # unpack time token
+        return self.proj_out(h).astype(jnp.float32)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        cond: jnp.ndarray,
+        text: jnp.ndarray,
+        time: jnp.ndarray,
+        drop_audio_cond=False,
+        drop_text=False,
+        mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        text_embed = self.text_embed(text, x.shape[1], drop_text)
+        return self.run(x, cond, text_embed, time, drop_audio_cond, mask=mask,
+                        deterministic=deterministic)

@@ -1,0 +1,123 @@
+"""Serving-layer integration tests: HTTP endpoints + socket streaming protocol
+(tiny model, 2 NFE steps, small buckets)."""
+
+import asyncio
+import http.client
+import json
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from eraxvif5tts_tpu.configs import ArchConfig, ModelConfig
+from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
+from eraxvif5tts_tpu.serving.http_server import ServerConfig, TTSServer
+from eraxvif5tts_tpu.serving.socket_server import TTSStreamingProcessor
+from eraxvif5tts_tpu.serving.wave_stream import create_wave_header, float_to_int16_bytes
+
+SR = 24000
+
+
+@pytest.fixture(scope="module")
+def wrapper():
+    cfg = ModelConfig(arch=ArchConfig(dim=32, depth=1, heads=2, dim_head=16,
+                                      text_dim=16, conv_layers=0, dropout=0.0))
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!?")}
+    w = F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, nfe_step=2,
+                     duration_buckets=(64, 128), text_buckets=(64,))
+    t = np.arange(SR // 4) / SR
+    wav = (0.2 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+    state = w.preprocess_reference(ref_audio=wav, ref_sample_rate=SR,
+                                   ref_text="hello ref")
+    w.ref = state
+    return w
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+@pytest.fixture(scope="module")
+def http_port(wrapper):
+    port = _free_port()
+    server = TTSServer(wrapper, ServerConfig(host="127.0.0.1", port=port, nfe_step=2))
+    server.references["default"] = wrapper.ref
+
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(server.serve())
+
+    thread = threading.Thread(target=run, daemon=True)
+    thread.start()
+    # wait for socket
+    for _ in range(100):
+        try:
+            with socket.create_connection(("127.0.0.1", port), timeout=0.2):
+                break
+        except OSError:
+            time.sleep(0.1)
+    yield port
+    loop.call_soon_threadsafe(loop.stop)
+
+
+def test_http_health_and_references(http_port):
+    conn = http.client.HTTPConnection("127.0.0.1", http_port, timeout=30)
+    conn.request("GET", "/health")
+    resp = conn.getresponse()
+    health = json.loads(resp.read())
+    assert resp.status == 200 and health["status"] == "healthy"
+    conn.request("GET", "/references")
+    refs = json.loads(conn.getresponse().read())
+    assert refs["references"]["default"]["status"] == "ready"
+
+
+def test_http_stream_returns_wav(http_port):
+    conn = http.client.HTTPConnection("127.0.0.1", http_port, timeout=600)
+    body = json.dumps({"text": "hi there.", "reference_id": "default",
+                       "nfe_step": 2, "seed": 0})
+    conn.request("POST", "/tts/stream", body=body,
+                 headers={"content-type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    assert resp.status == 200
+    assert data[:4] == b"RIFF" and data[8:12] == b"WAVE"
+    assert len(data) > 44 + 1000  # header + some PCM
+
+
+def test_http_error_paths(http_port):
+    conn = http.client.HTTPConnection("127.0.0.1", http_port, timeout=30)
+    conn.request("POST", "/tts/stream", body=json.dumps({"text": ""}),
+                 headers={"content-type": "application/json"})
+    assert conn.getresponse().status == 400
+    conn.request("POST", "/tts/stream", body=json.dumps({"text": "x", "reference_id": "missing"}),
+                 headers={"content-type": "application/json"})
+    assert conn.getresponse().status == 404
+    conn.request("GET", "/nope")
+    assert conn.getresponse().status == 404
+
+
+def test_socket_processor_streams_chunks(wrapper):
+    proc = TTSStreamingProcessor(wrapper, ref_state=wrapper.ref, nfe_step=2,
+                                 output_file=None, warm_up=False, chunk_size=512)
+    sent: list[bytes] = []
+    proc.generate_stream("hello world.", sent.append)
+    assert sent[-1] == b"END"
+    total = sum(len(b) for b in sent[:-1])
+    assert total > 0 and total % 4 == 0  # float32 frames
+    wave = np.frombuffer(b"".join(sent[:-1]), dtype=np.float32)
+    assert np.isfinite(wave).all()
+    # first package split into smaller chunks only once
+    assert proc.first_package is False
+
+
+def test_wave_header_and_pcm():
+    header = create_wave_header(24000)
+    assert header[:4] == b"RIFF" and header[8:12] == b"WAVE" and len(header) == 44
+    pcm = float_to_int16_bytes(np.asarray([0.0, 1.0, -1.0]))
+    assert np.frombuffer(pcm, "<i2").tolist() == [0, 32767, -32767]
