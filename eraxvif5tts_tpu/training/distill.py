@@ -1,0 +1,191 @@
+"""Knowledge distillation: frozen teacher DiT -> pruned student.
+
+Parity with reference `src/f5_tts/train/distil_reload.py` (§3.4 of SURVEY.md):
+- shared CFM corruption ``(x0, t, xt, cond, rand_span_mask)`` for both models
+  (`:1047-1053`);
+- teacher forward with no CFG drops under stop-gradient (`:1056-1059`);
+- student forward with the usual CFG drops (`:1062-1068`);
+- ``total = (1-alpha)*student_mse + alpha*distill(mse|l1) + spec_l1_weight*l1``, all
+  masked by the random span and normalized by mask size (`:1072-1100`);
+- optional duration loss from a precomputed alignment ``attn`` (`:1103-1124`);
+- NaN/Inf losses skip the update (`:1126`).
+
+TPU-first: teacher forward lives in the SAME jit as the student step, teacher params
+passed as ordinary (non-donated) arguments so XLA holds one copy on device.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from eraxvif5tts_tpu.models.cfm import CFM
+from eraxvif5tts_tpu.ops.masks import lens_to_mask, mask_from_frac_lengths
+from eraxvif5tts_tpu.training.trainer import TrainState
+
+
+@dataclass(frozen=True)
+class DistillConfig:
+    distill_loss_weight: float = 0.5  # alpha
+    distill_loss_type: str = "mse"  # "mse" | "l1"
+    spec_l1_weight: float = 0.0
+    duration_loss_weight: float = 0.5
+    audio_drop_prob: float = 0.35
+    cond_drop_prob: float = 0.25
+    frac_lengths_mask: tuple[float, float] = (0.7, 1.0)
+
+
+def distillation_losses(
+    student_cfm: CFM,
+    student_params: Any,
+    teacher_transformer,
+    teacher_params: Any,
+    mel: jnp.ndarray,
+    text: jnp.ndarray,
+    lens: jnp.ndarray,
+    rng: jax.Array,
+    config: DistillConfig,
+    deterministic: bool = True,
+) -> tuple[jnp.ndarray, dict[str, jnp.ndarray]]:
+    b, n, d = mel.shape
+    k_frac, k_span, k_x0, k_t, k_da, k_dc, k_drop = jax.random.split(rng, 7)
+
+    mask = lens_to_mask(lens, n)
+    lo, hi = config.frac_lengths_mask
+    frac = jax.random.uniform(k_frac, (b,), minval=lo, maxval=hi)
+    span = mask_from_frac_lengths(lens, frac, n, k_span) & mask
+
+    x1 = mel
+    x0 = jax.random.normal(k_x0, x1.shape, x1.dtype)
+    time = jax.random.uniform(k_t, (b,), dtype=x1.dtype)
+    xt = (1.0 - time[:, None, None]) * x0 + time[:, None, None] * x1
+    flow = x1 - x0
+    cond = jnp.where(span[..., None], 0.0, x1)
+
+    teacher_pred = teacher_transformer.apply(
+        {"params": teacher_params}, xt, cond, text, time,
+        drop_audio_cond=False, drop_text=False,
+    )
+    teacher_pred = jax.lax.stop_gradient(teacher_pred)
+
+    drop_audio = jax.random.uniform(k_da, ()) < config.audio_drop_prob
+    drop_cond = jax.random.uniform(k_dc, ()) < config.cond_drop_prob
+    drop_audio = drop_audio | drop_cond
+    student_pred = student_cfm.transformer.apply(
+        {"params": student_params}, xt, cond, text, time,
+        drop_audio_cond=jnp.broadcast_to(drop_audio, (b,)),
+        drop_text=jnp.broadcast_to(drop_cond, (b,)),
+        deterministic=deterministic,
+        rngs=None if deterministic else {"dropout": k_drop},
+    )
+
+    w = span[..., None].astype(x1.dtype)
+    denom = jnp.maximum(span.sum(), 1).astype(x1.dtype)
+
+    student_loss = jnp.sum(jnp.square(student_pred - flow) * w) / denom
+    if config.distill_loss_type == "mse":
+        distill_full = jnp.square(student_pred - teacher_pred)
+    elif config.distill_loss_type == "l1":
+        distill_full = jnp.abs(student_pred - teacher_pred)
+    else:
+        raise ValueError(f"unsupported distill_loss_type {config.distill_loss_type!r}")
+    distill_loss = jnp.sum(distill_full * w) / denom
+    spec_l1 = jnp.sum(jnp.abs(student_pred - teacher_pred) * w) / denom
+
+    alpha = config.distill_loss_weight
+    total = (1.0 - alpha) * student_loss + alpha * distill_loss + config.spec_l1_weight * spec_l1
+    metrics = {
+        "loss": total,
+        "student_loss": student_loss,
+        "distill_loss": distill_loss,
+        "spec_l1": spec_l1,
+    }
+    return total, metrics
+
+
+def duration_loss_from_attn(dur_predictor, dur_params, text: jnp.ndarray,
+                            text_lens: jnp.ndarray, attn: jnp.ndarray) -> jnp.ndarray:
+    """Duration loss from a precomputed alignment matrix (`distil_reload.py:1103-1124`)."""
+    b, nt = text.shape
+    tmask = (jnp.arange(nt)[None, :] < text_lens[:, None]).astype(jnp.float32)
+    w = attn.sum(axis=2)
+    logw_target = jnp.log(w + 1e-6) * tmask
+    logw = dur_predictor.apply({"params": dur_params}, text, tmask > 0)
+    per_sample = jnp.sum(jnp.square(logw - logw_target), axis=1) / jnp.maximum(tmask.sum(), 1)
+    return jnp.sum(per_sample)
+
+
+@dataclass
+class DistillTrainer:
+    """Jit-compiled distillation step with in-graph frozen teacher."""
+
+    student_cfm: CFM
+    teacher_transformer: Any
+    optimizer: optax.GradientTransformation
+    config: DistillConfig = DistillConfig()
+    ema_decay: float = 0.9999
+    ema_update_every: int = 10
+    ema_update_after_step: int = 100
+
+    def __post_init__(self):
+        self._step = None
+
+    def init_state(self, rng: jax.Array) -> TrainState:
+        params = self.student_cfm.init_params(rng)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=jax.jit(self.optimizer.init)(params),
+            ema_params=jax.tree.map(jnp.copy, params),
+        )
+
+    def _build(self):
+        cfg = self.config
+        optimizer = self.optimizer
+
+        def step_fn(state: TrainState, teacher_params, mel, text, lens, rng):
+            def loss_fn(params):
+                total, metrics = distillation_losses(
+                    self.student_cfm, params, self.teacher_transformer, teacher_params,
+                    mel, text, lens, rng, cfg,
+                )
+                return total, metrics
+
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+            # NaN/Inf guard: skip the update, keep the state (`distil_reload.py:1126`)
+            ok = jnp.isfinite(loss)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_params = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old), new_params, state.params
+            )
+            new_opt = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape") else new,
+                new_opt, state.opt_state,
+            )
+            step = state.step + jnp.where(ok, 1, 0)
+
+            def ema_update(ema, p):
+                decayed = ema * self.ema_decay + p * (1.0 - self.ema_decay)
+                take_copy = step <= self.ema_update_after_step
+                do = (step % self.ema_update_every == 0) | take_copy
+                return jnp.where(do, jnp.where(take_copy, p, decayed), ema)
+
+            new_ema = jax.tree.map(ema_update, state.ema_params, new_params)
+            metrics["skipped"] = ~ok
+            return TrainState(step=step, params=new_params, opt_state=new_opt,
+                              ema_params=new_ema), metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
+    def train_step(self, state: TrainState, teacher_params, batch: dict, rng: jax.Array):
+        if self._step is None:
+            self._step = self._build()
+        return self._step(state, teacher_params,
+                          jnp.asarray(batch["mel"]), jnp.asarray(batch["text"]),
+                          jnp.asarray(batch["lens"]), rng)
