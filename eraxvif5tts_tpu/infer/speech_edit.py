@@ -1,0 +1,88 @@
+"""Speech editing: regenerate selected time spans of an utterance.
+
+Parity with reference `src/f5_tts/infer/speech_edit.py:137-184`: the edit regions are
+zeroed in the conditioning mel and excluded from ``cond_mask`` via ``edit_mask`` at
+hop resolution, so the sampler re-synthesizes only those spans while keeping the rest
+of the original audio as fixed prompt.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from eraxvif5tts_tpu.infer.utils import pick_bucket
+from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
+from eraxvif5tts_tpu.text.pinyin import convert_char_to_pinyin
+from eraxvif5tts_tpu.text.tokenizer import list_str_to_idx
+
+
+def edit_speech(
+    wrapper: F5TTSWrapper,
+    audio: np.ndarray,  # [t] float at target sample rate
+    original_text: str,
+    target_text: str,
+    edit_spans_seconds: Sequence[tuple[float, float]],
+    fix_durations_seconds: Sequence[float] | None = None,
+    nfe_step: int = 32,
+    cfg_strength: float = 2.0,
+    sway_sampling_coef: float = -1.0,
+    seed: int | None = None,
+    use_pinyin: bool = True,
+) -> np.ndarray:
+    """Regenerate ``edit_spans_seconds`` of ``audio`` to match ``target_text``.
+
+    ``fix_durations_seconds`` optionally resizes each edited span (the reference
+    offsets the timeline accordingly, `speech_edit.py:137-158`).
+    """
+    sr = wrapper.target_sample_rate
+    hop = wrapper.hop_length
+
+    parts: list[np.ndarray] = []
+    edit_mask_parts: list[np.ndarray] = []
+    offset = 0.0
+    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    for i, (start, end) in enumerate(edit_spans_seconds):
+        fixed = fix_durations_seconds[i] if fix_durations_seconds else end - start
+        keep = audio[int(offset * sr): int(start * sr)]
+        parts.append(keep)
+        edit_mask_parts.append(np.ones(len(keep) // hop + 1, bool))
+        span_frames = int(fixed * sr / hop)
+        parts.append(np.zeros(span_frames * hop, np.float32))
+        edit_mask_parts.append(np.zeros(span_frames, bool))
+        offset = end
+    tail = audio[int(offset * sr):]
+    parts.append(tail)
+    edit_mask_parts.append(np.ones(len(tail) // hop + 1, bool))
+
+    wave = np.concatenate(parts)
+    n_frames = len(wave) // hop
+    wave = wave[: n_frames * hop]
+    edit_mask = np.concatenate(edit_mask_parts)[:n_frames]
+
+    mel = wrapper._mel_jit(jnp.asarray(wave[None])).swapaxes(1, 2)[:, :n_frames]
+
+    tokens = convert_char_to_pinyin([target_text]) if use_pinyin else [list(target_text)]
+    bucket = pick_bucket(n_frames + 1, wrapper.duration_buckets)
+    text_ids = list_str_to_idx(tokens, wrapper.vocab_char_map,
+                               pad_to=pick_bucket(len(tokens[0]), wrapper.text_buckets))
+
+    key = jax.random.key(seed if seed is not None else 0)
+    out = wrapper.cfm.sample(
+        wrapper.params,
+        mel,
+        jnp.asarray(text_ids),
+        jnp.asarray([n_frames]),
+        jnp.asarray([n_frames]),
+        key,
+        steps=nfe_step,
+        cfg_strength=cfg_strength,
+        sway_sampling_coef=sway_sampling_coef,
+        max_duration=bucket,
+        edit_mask=jnp.asarray(edit_mask[None]),
+    )
+    out_wave = wrapper._vocode_jit(out.swapaxes(1, 2))
+    return np.asarray(out_wave[0][: n_frames * hop], dtype=np.float32)

@@ -1,0 +1,150 @@
+"""Inference porcelain + eval harness tests (tiny model)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from eraxvif5tts_tpu.audio.io import read_wav, write_wav
+from eraxvif5tts_tpu.configs import ArchConfig, ModelConfig
+from eraxvif5tts_tpu.eval.eval_infer_batch import run_eval_inference, split_between_processes
+from eraxvif5tts_tpu.eval.utils_eval import (
+    PromptBatch,
+    edit_distance,
+    get_inference_prompt,
+    get_seedtts_testset_metainfo,
+    word_error_rate,
+)
+from eraxvif5tts_tpu.infer.infer_cli import merge_config, parse_args, run, split_voice_chunks
+from eraxvif5tts_tpu.infer.speech_edit import edit_speech
+from eraxvif5tts_tpu.infer.utils_infer import infer_batch_process, infer_process
+from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
+
+SR = 24000
+
+
+@pytest.fixture(scope="module")
+def wrapper():
+    cfg = ModelConfig(arch=ArchConfig(dim=32, depth=1, heads=2, dim_head=16,
+                                      text_dim=16, conv_layers=0, dropout=0.0))
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!?")}
+    return F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, nfe_step=2,
+                        duration_buckets=(64, 128), text_buckets=(64,))
+
+
+@pytest.fixture(scope="module")
+def ref_wav_path(tmp_path_factory):
+    t = np.arange(SR // 4) / SR
+    wav = (0.2 * np.sin(2 * np.pi * 160 * t)).astype(np.float32)
+    path = str(tmp_path_factory.mktemp("refs") / "ref.wav")
+    write_wav(path, wav, SR)
+    return path
+
+
+def test_infer_process_end_to_end(wrapper, ref_wav_path):
+    wave, sr, spec = infer_process(ref_wav_path, "hello ref. ", "a test.",
+                                   wrapper, nfe_step=2, seed=0)
+    assert sr == SR and len(wave) > 0 and np.isfinite(wave).all()
+    assert spec.shape[0] == 100
+
+
+def test_infer_batch_process_streaming(wrapper, ref_wav_path):
+    wav, sr = read_wav(ref_wav_path)
+    chunks = list(infer_batch_process(
+        (wav, sr), "hello ref. ", ["first piece.", "second piece."],
+        wrapper, streaming=True, chunk_size=1024, nfe_step=2, seed=0,
+    ))
+    assert len(chunks) >= 2
+    assert all(piece.shape[0] <= 1024 for piece, _ in chunks)
+    assert all(s == SR for _, s in chunks)
+
+
+def test_speech_edit(wrapper, ref_wav_path):
+    wav, _ = read_wav(ref_wav_path)
+    out = edit_speech(
+        wrapper, wav[0], "hello ref", "hello dog",
+        edit_spans_seconds=[(0.05, 0.12)], nfe_step=2, seed=0, use_pinyin=False,
+    )
+    assert len(out) > 0 and np.isfinite(out).all()
+    # unedited tail should be (vocoder-reconstructed) audio, not zeros
+    assert np.abs(out).max() > 1e-4
+
+
+# ---------------------------------------------------------------------------
+# infer_cli
+
+
+def test_split_voice_chunks():
+    text = "Hello there. [alt]Different voice! [main]Back again."
+    chunks = split_voice_chunks(text)
+    assert chunks == [("main", "Hello there."), ("alt", "Different voice!"),
+                      ("main", "Back again.")]
+
+
+def test_infer_cli_run(wrapper, ref_wav_path, tmp_path, monkeypatch):
+    # patch ASR-needing preprocess: supply ref_text so transcription is skipped
+    args = parse_args([
+        "-r", ref_wav_path, "-s", "hello ref.", "-t", "a cli test.",
+        "-o", str(tmp_path), "-w", "out.wav", "--nfe_step", "2", "--seed", "0",
+    ])
+    config = merge_config(args)
+    path = run(config, wrapper=wrapper)
+    assert os.path.isfile(path)
+    wav, sr = read_wav(path)
+    assert sr == SR and wav.shape[1] > 0
+
+
+def test_merge_config_toml(tmp_path):
+    toml = tmp_path / "cfg.toml"
+    toml.write_text('model = "F5TTS_v1_Base"\nnfe_step = 16\nref_audio = "x.wav"\n')
+    args = parse_args(["-c", str(toml), "--nfe_step", "8"])
+    config = merge_config(args)
+    assert config["nfe_step"] == 8  # CLI overrides TOML
+    assert config["ref_audio"] == "x.wav"
+
+
+# ---------------------------------------------------------------------------
+# eval harness
+
+
+def test_wer_native():
+    assert edit_distance(list("abc"), list("abc")) == 0
+    assert edit_distance(list("abc"), list("axc")) == 1
+    assert word_error_rate("the cat sat", "the cat sat") == 0.0
+    assert word_error_rate("the cat sat", "the dog sat") == pytest.approx(1 / 3)
+    assert word_error_rate("你好吗", "你好了", language="zh") == pytest.approx(1 / 3)
+
+
+def test_metainfo_and_split(tmp_path):
+    meta = tmp_path / "test.lst"
+    meta.write_text("utt1|prompt one|p1.wav|target one\n"
+                    "utt2|prompt two|p2.wav|target two|gt2.wav\n")
+    rows = get_seedtts_testset_metainfo(str(meta))
+    assert len(rows) == 2 and rows[0][0] == "utt1" and rows[1][4] == "gt2.wav"
+    assert split_between_processes(list(range(10)), 0, 4) == [0, 4, 8]
+    assert split_between_processes(list(range(10)), 3, 4) == [3, 7]
+
+
+def test_get_inference_prompt_and_eval_run(wrapper, ref_wav_path, tmp_path):
+    meta = [("utt_a", "hello ref", ref_wav_path, "some target text", ""),
+            ("utt_b", "hello ref", ref_wav_path, "other text", "")]
+
+    def mel_fn(wav):
+        import jax.numpy as jnp
+
+        n = len(wav) // 256 * 256
+        mel = wrapper._mel_jit(jnp.asarray(wav[None, :n]))
+        return np.asarray(mel.swapaxes(1, 2)[0, : n // 256])
+
+    batches = get_inference_prompt(
+        meta, mel_fn=mel_fn, load_wav=read_wav, tokenize=lambda t: list(t),
+        min_seconds=0.2, max_seconds=2.0, num_buckets=8, batch_frames=600,
+    )
+    assert sum(len(b.utts) for b in batches) == 2
+    report = run_eval_inference(wrapper, batches, str(tmp_path / "gen"), nfe_step=2)
+    assert report["utterances"] == 2
+    assert os.path.isfile(tmp_path / "gen" / "utt_a.wav")
+    assert report["rtf"] > 0
