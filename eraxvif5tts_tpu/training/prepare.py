@@ -1,0 +1,132 @@
+"""Dataset preparation: metadata.csv + wavs -> (raw.arrow, duration.json, vocab.txt).
+
+Parity with reference `src/f5_tts/train/datasets/prepare_csv_wavs.py` /
+`prepare_ljspeech.py:14-50`: the same triple-file output layout consumed by
+``load_dataset``; pinyin conversion for zh text; duration probing from the wav
+headers (no ffprobe dependency); `prepare_emilia.py`'s repetition filter.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import wave as wave_mod
+from collections import defaultdict
+from typing import Iterable, Optional
+
+from eraxvif5tts_tpu.text.pinyin import convert_char_to_pinyin
+
+
+def repetition_found(text: str, length: int = 2, tolerance: int = 10) -> bool:
+    """Dirty-data filter (reference `model/utils.py:290-298`)."""
+    pattern_count: dict[str, int] = defaultdict(int)
+    for i in range(len(text) - length + 1):
+        pattern_count[text[i : i + length]] += 1
+    return any(count > tolerance for count in pattern_count.values())
+
+
+def wav_duration_seconds(path: str) -> float:
+    with wave_mod.open(path, "rb") as f:
+        return f.getnframes() / f.getframerate()
+
+
+def build_vocab(texts: Iterable[list[str] | str]) -> list[str]:
+    """Sorted unique token list; space goes first (reference vocab layout)."""
+    tokens: set[str] = set()
+    for t in texts:
+        tokens.update(t)
+    tokens.discard(" ")
+    return [" "] + sorted(tokens)
+
+
+def prepare_csv_wavs(
+    input_dir: str,
+    output_dir: str,
+    pretrained_vocab: Optional[str] = None,
+    use_pinyin: bool = True,
+    min_seconds: float = 0.3,
+    max_seconds: float = 30.0,
+    filter_repetitions: bool = False,
+) -> dict:
+    """``{input_dir}/metadata.csv`` (`path|text`) + wavs -> arrow/duration/vocab.
+
+    Returns a summary dict. Output layout matches reference
+    `prepare_csv_wavs.py` so `load_dataset` (and the reference trainer) can read it.
+    """
+    import datasets as hf_datasets
+
+    meta_path = os.path.join(input_dir, "metadata.csv")
+    rows = []
+    durations = []
+    texts_for_vocab = []
+    skipped = 0
+    with open(meta_path, "r", encoding="utf-8-sig", newline="") as f:
+        reader = csv.reader(f, delimiter="|")
+        for parts in reader:
+            if len(parts) < 2:
+                continue
+            rel_path, text = parts[0].strip(), parts[1].strip()
+            audio_path = rel_path if os.path.isabs(rel_path) else os.path.join(input_dir, rel_path)
+            if not os.path.isfile(audio_path):
+                skipped += 1
+                continue
+            try:
+                dur = wav_duration_seconds(audio_path)
+            except Exception:
+                skipped += 1
+                continue
+            if not (min_seconds <= dur <= max_seconds):
+                skipped += 1
+                continue
+            if filter_repetitions and repetition_found(text):
+                skipped += 1
+                continue
+            tokens = convert_char_to_pinyin([text])[0] if use_pinyin else list(text)
+            rows.append({"audio_path": audio_path, "text": text, "duration": dur})
+            durations.append(dur)
+            texts_for_vocab.append(tokens)
+
+    os.makedirs(output_dir, exist_ok=True)
+    ds = hf_datasets.Dataset.from_list(rows)
+    ds.save_to_disk(os.path.join(output_dir, "raw"))
+    # also write the single-file arrow layout the reference uses
+    try:
+        from datasets.arrow_writer import ArrowWriter
+
+        with ArrowWriter(path=os.path.join(output_dir, "raw.arrow")) as writer:
+            for row in rows:
+                writer.write(row)
+    except Exception:
+        pass
+
+    with open(os.path.join(output_dir, "duration.json"), "w", encoding="utf-8") as f:
+        json.dump({"duration": durations}, f)
+
+    if pretrained_vocab and os.path.isfile(pretrained_vocab):
+        with open(pretrained_vocab, "r", encoding="utf-8") as f:
+            vocab_lines = f.read().splitlines()
+    else:
+        vocab_lines = build_vocab(texts_for_vocab)
+    with open(os.path.join(output_dir, "vocab.txt"), "w", encoding="utf-8") as f:
+        f.write("\n".join(vocab_lines) + "\n")
+
+    return {"samples": len(rows), "skipped": skipped,
+            "total_hours": sum(durations) / 3600.0, "vocab_size": len(vocab_lines)}
+
+
+def prepare_ljspeech(ljspeech_dir: str, output_dir: str, **kw) -> dict:
+    """LJSpeech layout (metadata.csv with `id|text|normalized`) -> same outputs
+    (reference `prepare_ljspeech.py:14-50`)."""
+    meta = os.path.join(ljspeech_dir, "metadata.csv")
+    staged = os.path.join(output_dir, "_lj_metadata.csv")
+    os.makedirs(output_dir, exist_ok=True)
+    with open(meta, "r", encoding="utf-8") as f, open(staged, "w", encoding="utf-8") as out:
+        for line in f:
+            parts = line.rstrip("\n").split("|")
+            if len(parts) >= 3:
+                wav = os.path.join(ljspeech_dir, "wavs", parts[0] + ".wav")
+                out.write(f"{wav}|{parts[2]}\n")
+    stage_dir = os.path.dirname(staged)
+    os.replace(staged, os.path.join(stage_dir, "metadata.csv"))
+    return prepare_csv_wavs(stage_dir, output_dir, use_pinyin=False, **kw)
