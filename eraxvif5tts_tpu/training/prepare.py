@@ -91,14 +91,17 @@ def prepare_csv_wavs(
     ds = hf_datasets.Dataset.from_list(rows)
     ds.save_to_disk(os.path.join(output_dir, "raw"))
     # also write the single-file arrow layout the reference uses
+    arrow_path = os.path.join(output_dir, "raw.arrow")
     try:
         from datasets.arrow_writer import ArrowWriter
 
-        with ArrowWriter(path=os.path.join(output_dir, "raw.arrow")) as writer:
-            for row in rows:
-                writer.write(row)
+        writer = ArrowWriter(path=arrow_path)
+        for row in rows:
+            writer.write(row)
+        writer.finalize()
     except Exception:
-        pass
+        if os.path.exists(arrow_path):
+            os.remove(arrow_path)
 
     with open(os.path.join(output_dir, "duration.json"), "w", encoding="utf-8") as f:
         json.dump({"duration": durations}, f)
