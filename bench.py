@@ -65,7 +65,7 @@ def main():
     ap.add_argument("--bucket", type=int, default=None, help="total mel frames")
     ap.add_argument("--ref-frames", type=int, default=None)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
     args = ap.parse_args()
 
     import jax
@@ -96,15 +96,18 @@ def main():
         )
         return vocode(mel)
 
+    def sync(x):
+        # block_until_ready is unreliable on the experimental axon platform;
+        # a host transfer of one element forces a real sync.
+        return np.asarray(x[:, :8])
+
     # warmup / compile
-    wave = run()
-    wave.block_until_ready()
+    sync(run())
 
     times = []
     for _ in range(args.iters):
         t0 = time.perf_counter()
-        wave = run()
-        wave.block_until_ready()
+        sync(run())
         times.append(time.perf_counter() - t0)
 
     wall = float(np.median(times))
