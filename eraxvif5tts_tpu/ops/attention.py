@@ -39,9 +39,9 @@ def _flash_attention(q, k, v, key_valid):
     get segment 2, valid tokens 1 — cross-segment attention is masked out and padded
     query rows are zeroed by the caller).
 
-    Block sizes are capped at 512 with ``block_b=1``: measured 2.4x faster than the
-    kernel defaults on the DiT serving shapes (b=2, h=16, n=1024, d=64), taking the
-    full NFE=32 pipeline from 14.8x to 21.8x realtime on one v5e chip.
+    Block sizes ``(block_q=512, block_k=1024, block_b=1)`` measured fastest on the
+    DiT serving shapes (b=2, h=16, n=1024, d=64): 14.8x -> 23.4x realtime for the
+    full NFE=32 pipeline on one v5e chip (kernel defaults were slower than XLA).
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -50,8 +50,9 @@ def _flash_attention(q, k, v, key_valid):
     )
 
     b, n, h, d = q.shape
-    block = _flash_block(n)
-    block_sizes = BlockSizes(block_q=block, block_k_major=block, block_k=block,
+    block_q = _flash_block(n, 512)
+    block_k = _flash_block(n, 1024)
+    block_sizes = BlockSizes(block_q=block_q, block_k_major=block_k, block_k=block_k,
                              block_b=1)
     qt = q.swapaxes(1, 2)  # [b, h, n, d]
     kt = k.swapaxes(1, 2)

@@ -93,6 +93,48 @@ class CustomDataset:
         )
 
 
+class HFDataset:
+    """On-the-fly mel extraction from HF audio rows, 0.3-30 s filter
+    (reference `dataset.py:17-79`)."""
+
+    def __init__(
+        self,
+        hf_dataset,
+        mel_fn: Callable[[np.ndarray, int], np.ndarray],  # (wav, sr) -> mel [n, d]
+        target_sample_rate: int = 24000,
+        hop_length: int = 256,
+        min_seconds: float = 0.3,
+        max_seconds: float = 30.0,
+    ):
+        self.data = hf_dataset
+        self.mel_fn = mel_fn
+        self.target_sample_rate = target_sample_rate
+        self.hop_length = hop_length
+        self.min_seconds = min_seconds
+        self.max_seconds = max_seconds
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def frame_length(self, idx: int) -> int:
+        row = self.data[idx]
+        audio = row["audio"]
+        dur = len(audio["array"]) / audio["sampling_rate"]
+        return int(dur * self.target_sample_rate / self.hop_length)
+
+    def __getitem__(self, idx: int) -> Sample:
+        row = self.data[idx]
+        audio = row["audio"]
+        wav = np.asarray(audio["array"], dtype=np.float32)
+        sr = audio["sampling_rate"]
+        dur = len(wav) / sr
+        if not (self.min_seconds <= dur <= self.max_seconds):
+            # out-of-range rows loop to a neighbor (reference filters at access time)
+            return self[(idx + 1) % len(self)]
+        mel = self.mel_fn(wav, sr)
+        return Sample(text=row["text"], duration_frames=mel.shape[0], mel=mel)
+
+
 def load_dataset(
     dataset_name: str,
     tokenizer: str = "pinyin",

@@ -133,11 +133,33 @@ class Trainer:
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    def _pad_batch(self, batch: dict) -> dict:
+        """Pad the batch axis up to a multiple of the data-mesh size; padded rows get
+        ``lens=0`` so the masked loss ignores them."""
+        n_data = self.mesh.shape.get("data", 1)
+        b = batch["mel"].shape[0]
+        if b % n_data == 0:
+            return batch
+        pad = n_data - b % n_data
+        import numpy as _np
+
+        return {
+            "mel": _np.concatenate(
+                [batch["mel"], _np.zeros((pad,) + batch["mel"].shape[1:],
+                                         batch["mel"].dtype)]),
+            "text": _np.concatenate(
+                [batch["text"], _np.full((pad,) + batch["text"].shape[1:], -1,
+                                         batch["text"].dtype)]),
+            "lens": _np.concatenate(
+                [batch["lens"], _np.zeros((pad,), batch["lens"].dtype)]),
+        }
+
     def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
         """One update. ``batch`` = {'mel': [b,n,d], 'text': [b,nt], 'lens': [b]}
         with static bucketed shapes."""
         if self._step_fn is None:
             self._step_fn = self._build_step()
+        batch = self._pad_batch(batch)
         with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else _nullcontext():
             bs = batch_sharding(self.mesh)
             mel = jax.device_put(batch["mel"], bs)
@@ -154,16 +176,41 @@ class Trainer:
         rng: jax.Array,
         log_every: int = 100,
         save_per_updates: int = 50000,
+        last_per_updates: int = 0,
         log_fn: Callable[[int, dict], None] | None = None,
+        sample_fn: Callable[[TrainState, int], None] | None = None,
+        tensorboard_dir: Optional[str] = None,
     ) -> TrainState:
+        """Drive the loop. ``sample_fn(state, step)`` runs at every checkpoint save —
+        the reference synthesizes smoke-test wavs there (`trainer.py:1387-1419`);
+        ``tensorboard_dir`` enables scalar logging (`trainer.py:135-175`)."""
+        tb_writer = None
+        if tensorboard_dir:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                tb_writer = SummaryWriter(tensorboard_dir)
+            except ImportError:
+                pass
         for batch in batches:
             rng, step_rng = jax.random.split(rng)
             state, metrics = self.train_step(state, batch, step_rng)
             step = int(state.step)
-            if log_fn is not None and step % log_every == 0:
-                log_fn(step, {k: float(v) for k, v in metrics.items()})
+            if step % log_every == 0:
+                scalars = {k: float(v) for k, v in metrics.items()}
+                if log_fn is not None:
+                    log_fn(step, scalars)
+                if tb_writer is not None:
+                    for k, v in scalars.items():
+                        tb_writer.add_scalar(k, v, step)
             if self.checkpoint_dir and save_per_updates and step % save_per_updates == 0:
                 self.save_checkpoint(state)
+                if sample_fn is not None:
+                    sample_fn(state, step)
+            if self.checkpoint_dir and last_per_updates and step % last_per_updates == 0:
+                self.save_checkpoint(state, last=True)
+        if tb_writer is not None:
+            tb_writer.close()
         return state
 
     # ------------------------------------------------------------------

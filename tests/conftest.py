@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" programmatically, which
+# beats the env var — override it back to cpu via the config API before any backend
+# initializes.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: the suite is dominated by XLA compiles on 1 CPU core.
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")

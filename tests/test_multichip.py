@@ -1,0 +1,105 @@
+"""Multi-device sharding tests on the 8-device virtual CPU mesh (SURVEY.md §4:
+multi-device tests without a pod)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eraxvif5tts_tpu.configs import ArchConfig
+from eraxvif5tts_tpu.models.cfm import CFM
+from eraxvif5tts_tpu.models.dit import DiT
+from eraxvif5tts_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_sharding_rules,
+    shard_params,
+)
+from eraxvif5tts_tpu.training.trainer import Trainer, make_optimizer
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+ARCH = ArchConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, text_dim=32,
+                  conv_layers=0, dropout=0.0)
+
+
+def _batch(b):
+    rng = np.random.default_rng(0)
+    return {
+        "mel": rng.standard_normal((b, 16, 8)).astype(np.float32),
+        "text": np.tile(np.asarray([[1, 2, 3, -1]], np.int32), (b, 1)),
+        "lens": np.full((b,), 16, np.int32),
+    }
+
+
+def test_param_sharding_rules():
+    from jax.sharding import PartitionSpec as P
+
+    assert param_sharding_rules("block_0/attn/to_q/kernel") == P(None, "model")
+    assert param_sharding_rules("block_3/ff/project_out/kernel") == P("model", None)
+    assert param_sharding_rules("time_embed/mlp_in/kernel") == P()
+
+
+def test_dp_train_step_on_mesh():
+    mesh = make_mesh(n_model=1)
+    assert dict(mesh.shape) == {"data": 8, "model": 1}
+    dit = DiT(arch=ARCH, text_num_embeds=8, mel_dim=8)
+    trainer = Trainer(cfm=CFM(transformer=dit),
+                      optimizer=make_optimizer(total_updates=10), mesh=mesh)
+    state = trainer.init_state(jax.random.key(0))
+    state, metrics = trainer.train_step(state, _batch(16), jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
+
+
+def test_dp_tp_train_step_on_mesh():
+    mesh = make_mesh(n_model=2)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    dit = DiT(arch=ARCH, text_num_embeds=8, mel_dim=8)
+    trainer = Trainer(cfm=CFM(transformer=dit),
+                      optimizer=make_optimizer(total_updates=10), mesh=mesh)
+    state = trainer.init_state(jax.random.key(0))
+    # q/k/v kernels actually sharded over 'model'
+    qkv = state.params["block_0"]["attn"]["to_q"]["kernel"]
+    assert len(qkv.sharding.device_set) >= 2
+    state, metrics = trainer.train_step(state, _batch(8), jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_matches_single_device_loss():
+    """Same batch -> same loss whether computed on 1 device or sharded over 8."""
+    dit = DiT(arch=ARCH, text_num_embeds=8, mel_dim=8)
+    cfm = CFM(transformer=dit)
+    params = cfm.init_params(jax.random.key(0))
+    batch = _batch(8)
+    loss_fn = jax.jit(lambda p, m, t, l: cfm.loss(p, m, t, l, jax.random.key(5),
+                                                  deterministic=True)[0])
+    ref_loss = float(loss_fn(params, batch["mel"], batch["text"], batch["lens"]))
+
+    mesh = make_mesh(n_model=1)
+    sharded = shard_params(mesh, params)
+    bs = batch_sharding(mesh)
+    mel = jax.device_put(batch["mel"], bs)
+    text = jax.device_put(batch["text"], bs)
+    lens = jax.device_put(batch["lens"], bs)
+    got = float(loss_fn(sharded, mel, text, lens))
+    assert got == pytest.approx(ref_loss, rel=1e-5)
+
+
+def test_sample_under_mesh_sharding():
+    mesh = make_mesh(n_model=1)
+    dit = DiT(arch=ARCH, text_num_embeds=8, mel_dim=8)
+    cfm = CFM(transformer=dit)
+    params = shard_params(mesh, cfm.init_params(jax.random.key(0)))
+    cond = jax.device_put(
+        np.random.default_rng(1).standard_normal((8, 8, 8)).astype(np.float32),
+        batch_sharding(mesh),
+    )
+    text = jax.device_put(np.tile(np.asarray([[1, 2, -1]], np.int32), (8, 1)),
+                          batch_sharding(mesh))
+    out = cfm.sample(params, cond, text,
+                     jnp.full((8,), 16), jnp.full((8,), 8),
+                     jax.random.key(2), steps=2, max_duration=32)
+    assert out.shape == (8, 32, 8)
+    assert np.isfinite(np.asarray(out)).all()
