@@ -235,8 +235,10 @@ def collate(
     text_buckets: Sequence[int] = TRAIN_TEXT_BUCKETS,
     tokenize: Optional[Callable[[str | list[str]], list[str]]] = None,
     pad_batch_to: Optional[int] = None,
+    phoneme_map: Optional[dict[str, int]] = None,
 ) -> dict[str, np.ndarray]:
-    """Pad a batch to bucketed static shapes -> {'mel', 'text', 'lens'} numpy arrays.
+    """Pad a batch to bucketed static shapes -> {'mel', 'text', 'lens'} numpy arrays
+    (+ 'phoneme' ids when ``phoneme_map`` is given and samples carry phonemes).
 
     ``pad_batch_to`` optionally pads the batch axis (repeating the last sample with
     lens=0 weighting left to the loss mask) so the batch size is also static.
@@ -266,4 +268,18 @@ def collate(
     text = np.full((rows, text_width), -1, np.int32)
     ids = list_str_to_idx(token_lists, vocab_char_map, pad_to=text_width)
     text[:b, :] = ids
-    return {"mel": mel, "text": text, "lens": lens}
+
+    out = {"mel": mel, "text": text, "lens": lens}
+    if phoneme_map is not None and any(s.phoneme for s in samples):
+        from eraxvif5tts_tpu.text.phoneme import phoneme_to_indices
+
+        ph_lists = []
+        for s in samples:
+            phones = s.phoneme.split() if isinstance(s.phoneme, str) else (s.phoneme or [])
+            ph_lists.append(phoneme_to_indices(list(phones), phoneme_map, grow=True))
+        ph_width = _bucket(max((len(p) for p in ph_lists), default=1), text_buckets)
+        phoneme = np.zeros((rows, ph_width), np.int32)
+        for i, ids_ in enumerate(ph_lists):
+            phoneme[i, : min(len(ids_), ph_width)] = ids_[:ph_width]
+        out["phoneme"] = phoneme
+    return out

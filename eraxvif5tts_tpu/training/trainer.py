@@ -37,6 +37,10 @@ class TrainState(flax.struct.PyTreeNode):
     params: Any
     opt_state: Any
     ema_params: Any
+    # duration-predictor curriculum state (None when disabled):
+    dur_pred_params: Any = None   # trained copy
+    dur_align_params: Any = None  # frozen copy used for alignment embeddings
+    dur_opt_state: Any = None
 
 
 def make_optimizer(
@@ -75,24 +79,57 @@ class Trainer:
     grad_accumulation_steps: int = 1
     checkpoint_dir: Optional[str] = None
     keep_last_n_checkpoints: int = -1
-    duration_loss_fn: Optional[Callable] = None  # optional duration-predictor loss
+    # Duration-predictor curriculum (reference `trainer.py:240-300, 829-1079`):
+    # two copies of the predictor — a frozen "align" copy whose embeddings feed the
+    # MAS similarity, and a trained "pred" copy — plus a duration-focus phase that
+    # freezes the main model for `duration_focus_updates` updates.
+    duration_predictor: Any = None  # DurationPredictor module
+    duration_focus_updates: int = 12000
+    duration_lr: Optional[float] = None  # defaults to main LR, weight decay 3e-4
 
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_mesh(n_model=1)
         self._step_fn = None
+        self._dur_step_fns = {}
+        self._mel_proj = None
+        self.alignment_manager = None
+        if self.duration_predictor is not None:
+            from eraxvif5tts_tpu.training.alignment import AlignmentMethodManager
+
+            self.alignment_manager = AlignmentMethodManager()
+            self._phase2_start: Optional[int] = None
+            self._dur_optimizer = optax.adamw(
+                self.duration_lr or 7.5e-5, b1=0.9, b2=0.98, weight_decay=3e-4
+            )
 
     # ------------------------------------------------------------------
 
-    def init_state(self, rng: jax.Array, params: Any | None = None) -> TrainState:
+    def init_state(self, rng: jax.Array, params: Any | None = None,
+                   dur_pred_params: Any | None = None) -> TrainState:
         params = params if params is not None else self.cfm.init_params(rng)
         params = shard_params(self.mesh, params)
         opt_state = jax.jit(self.optimizer.init)(params)
+        dur_params = dur_align = dur_opt = None
+        if self.duration_predictor is not None:
+            if dur_pred_params is None:
+                ids = jnp.zeros((1, 8), jnp.int32)
+                dur_pred_params = jax.jit(self.duration_predictor.init)(
+                    jax.random.fold_in(rng, 1), ids, ids > 0
+                )["params"]
+            dur_params = dur_pred_params
+            # frozen alignment copy initialized from the same weights
+            # (`trainer.py:246-276`)
+            dur_align = jax.tree.map(jnp.copy, dur_pred_params)
+            dur_opt = jax.jit(self._dur_optimizer.init)(dur_params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=opt_state,
             ema_params=jax.tree.map(jnp.copy, params),
+            dur_pred_params=dur_params,
+            dur_align_params=dur_align,
+            dur_opt_state=dur_opt,
         )
 
     # ------------------------------------------------------------------
@@ -133,6 +170,66 @@ class Trainer:
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
+    def _build_dur_step(self, algorithm: str, freeze_main: bool):
+        """Train step with the MAS duration loss. Static variants per
+        (alignment algorithm, focus-phase flag); the focus phase zeroes the main
+        model's gradients (`trainer.py:286-300`)."""
+        from eraxvif5tts_tpu.training.alignment import duration_loss as dur_loss_fn
+
+        cfm = self.cfm
+        optimizer = self.optimizer
+        dur_optimizer = self._dur_optimizer
+        dur_predictor = self.duration_predictor
+        ema_decay = self.ema_decay
+        ema_after = self.ema_update_after_step
+        ema_every = self.ema_update_every
+
+        def step_fn(state: TrainState, mel, text, lens, phoneme, mel_proj, dur_weight, rng):
+            def loss_fn(params, dur_params):
+                cfm_loss, _, _ = cfm.loss(params, mel, text, lens, rng)
+                embed_table = state.dur_align_params["embed"]["embedding"]
+                d_loss, d_mae, _ = dur_loss_fn(
+                    dur_predictor, dur_params, embed_table, mel_proj,
+                    phoneme, mel, lens, algorithm,
+                )
+                total = cfm_loss + dur_weight * d_loss
+                return total, (cfm_loss, d_loss, d_mae)
+
+            (total, (cfm_loss, d_loss, d_mae)), grads = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, state.dur_pred_params)
+            main_grads, dur_grads = grads
+            if freeze_main:
+                main_grads = jax.tree.map(jnp.zeros_like, main_grads)
+
+            updates, new_opt = optimizer.update(main_grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            d_updates, new_dur_opt = dur_optimizer.update(
+                dur_grads, state.dur_opt_state, state.dur_pred_params
+            )
+            new_dur_params = optax.apply_updates(state.dur_pred_params, d_updates)
+            step = state.step + 1
+
+            def ema_update(ema, p):
+                decayed = ema * ema_decay + p * (1.0 - ema_decay)
+                take_copy = step <= ema_after
+                do_update = (step % ema_every == 0) | take_copy
+                return jnp.where(do_update, jnp.where(take_copy, p, decayed), ema)
+
+            new_ema = jax.tree.map(ema_update, state.ema_params, new_params)
+            new_state = TrainState(
+                step=step, params=new_params, opt_state=new_opt, ema_params=new_ema,
+                dur_pred_params=new_dur_params,
+                dur_align_params=state.dur_align_params,
+                dur_opt_state=new_dur_opt,
+            )
+            metrics = {"loss": total, "cfm_loss": cfm_loss,
+                       "duration_loss": d_loss, "duration_mae": d_mae,
+                       "grad_norm": optax.global_norm(main_grads)}
+            return new_state, metrics
+
+        return jax.jit(step_fn, donate_argnums=(0,))
+
     def _pad_batch(self, batch: dict) -> dict:
         """Pad the batch axis up to a multiple of the data-mesh size; padded rows get
         ``lens=0`` so the masked loss ignores them."""
@@ -143,7 +240,7 @@ class Trainer:
         pad = n_data - b % n_data
         import numpy as _np
 
-        return {
+        out = {
             "mel": _np.concatenate(
                 [batch["mel"], _np.zeros((pad,) + batch["mel"].shape[1:],
                                          batch["mel"].dtype)]),
@@ -153,19 +250,55 @@ class Trainer:
             "lens": _np.concatenate(
                 [batch["lens"], _np.zeros((pad,), batch["lens"].dtype)]),
         }
+        if batch.get("phoneme") is not None:
+            out["phoneme"] = _np.concatenate(
+                [batch["phoneme"], _np.zeros((pad,) + batch["phoneme"].shape[1:],
+                                             batch["phoneme"].dtype)])
+        return out
 
     def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
         """One update. ``batch`` = {'mel': [b,n,d], 'text': [b,nt], 'lens': [b]}
-        with static bucketed shapes."""
-        if self._step_fn is None:
-            self._step_fn = self._build_step()
+        (+ optional 'phoneme' [b,np] ids when duration training is on) with static
+        bucketed shapes."""
+        use_duration = (
+            self.duration_predictor is not None and batch.get("phoneme") is not None
+        )
         batch = self._pad_batch(batch)
         with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else _nullcontext():
             bs = batch_sharding(self.mesh)
             mel = jax.device_put(batch["mel"], bs)
             text = jax.device_put(batch["text"], bs)
             lens = jax.device_put(batch["lens"], bs)
-            return self._step_fn(state, mel, text, lens, rng)
+            if not use_duration:
+                if self._step_fn is None:
+                    self._step_fn = self._build_step()
+                return self._step_fn(state, mel, text, lens, rng)
+
+            # duration curriculum: advance the host-side phase machine
+            step = int(state.step)
+            if self.alignment_manager.phase == 2 and self._phase2_start is None:
+                self._phase2_start = step
+            algorithm, weight, transitioned = self.alignment_manager.update(
+                step, self.duration_focus_updates, self._phase2_start, None
+            )
+            if transitioned:
+                self._phase2_start = step
+            freeze_main = self.alignment_manager.phase == 1
+            key = (algorithm, freeze_main)
+            if key not in self._dur_step_fns:
+                self._dur_step_fns[key] = self._build_dur_step(algorithm, freeze_main)
+            if self._mel_proj is None:
+                from eraxvif5tts_tpu.training.alignment import make_mel_proj_matrix
+
+                embed_dim = state.dur_align_params["embed"]["embedding"].shape[1]
+                self._mel_proj = jnp.asarray(
+                    make_mel_proj_matrix(batch["mel"].shape[-1], embed_dim)
+                )
+            phoneme = jax.device_put(batch["phoneme"], bs)
+            return self._dur_step_fns[key](
+                state, mel, text, lens, phoneme, self._mel_proj,
+                jnp.asarray(weight, jnp.float32), rng,
+            )
 
     # ------------------------------------------------------------------
 
