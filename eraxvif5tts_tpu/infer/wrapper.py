@@ -194,6 +194,23 @@ class F5TTSWrapper:
         self._vocode_jit = jax.jit(
             lambda mel: self.vocoder.apply({"params": self.vocoder_params}, mel)
         )
+
+        # Fused sample+vocode: ONE jit region per bucket so text -> waveform is a
+        # single device dispatch (one tunnel round-trip instead of two).
+        def _sample_vocode(params, vparams, cond, text, duration, lens, key,
+                           steps, cfg_strength, sway, max_duration):
+            mel = self.cfm.sample(
+                params, cond, text, duration, lens, key,
+                steps=steps, cfg_strength=cfg_strength,
+                sway_sampling_coef=sway, max_duration=max_duration,
+            )
+            wave = self.vocoder.apply({"params": vparams}, mel.swapaxes(1, 2))
+            return wave, mel
+
+        self._sample_vocode_jit = jax.jit(
+            _sample_vocode,
+            static_argnames=("steps", "cfg_strength", "sway", "max_duration"),
+        )
         self.ref: Optional[ReferenceState] = None
         self._last_wave: Optional[np.ndarray] = None
 
@@ -325,8 +342,9 @@ class F5TTSWrapper:
             text_bucket = pick_bucket(len(tokens[0]), self.text_buckets)
             text_ids = list_str_to_idx(tokens, self.vocab_char_map, pad_to=text_bucket)
 
-            out = self.cfm.sample(
+            wave, out = self._sample_vocode_jit(
                 self.params,
+                self.vocoder_params,
                 ref.mel,
                 jnp.asarray(text_ids),
                 jnp.asarray([min(duration, bucket)]),
@@ -334,11 +352,9 @@ class F5TTSWrapper:
                 key,
                 steps=nfe_step,
                 cfg_strength=float(cfg_strength),
-                sway_sampling_coef=float(sway) if sway is not None else None,
+                sway=float(sway) if sway is not None else None,
                 max_duration=bucket,
-            )  # [1, bucket, n_mels]
-
-            wave = self._vocode_jit(out.swapaxes(1, 2))  # [1, (bucket-1)*hop]
+            )  # wave [1, (bucket-1)*hop], mel [1, bucket, n_mels]
             wave_np = np.asarray(wave[0], dtype=np.float32)
             start = ref.n_frames * self.hop_length
             end = min(duration, bucket) * self.hop_length
