@@ -381,6 +381,76 @@ class F5TTSWrapper:
 
     # ------------------------------------------------------------------
 
+    def generate_batch(
+        self,
+        texts: list[str],
+        ref: Optional[ReferenceState] = None,
+        nfe_step: Optional[int] = None,
+        cfg_strength: Optional[float] = None,
+        speed: Optional[float] = None,
+        sway_sampling_coef: Optional[float] = None,
+        seed: Optional[int] = None,
+        use_pinyin: bool = True,
+    ) -> list[np.ndarray]:
+        """Synthesize several utterances in ONE padded device batch.
+
+        Throughput-oriented serving beyond the reference (which threads over chunks
+        one at a time, `utils_infer.py:510-517`): all utterances share one
+        (batch, bucket) jit, the per-sample duration/mask machinery handles the
+        ragged lengths. Returns one waveform per input text.
+        """
+        ref = ref or self.ref
+        if ref is None:
+            raise RuntimeError("call preprocess_reference() first or pass ref=")
+        if not texts:
+            return []
+        nfe_step = nfe_step if nfe_step is not None else self.nfe_step
+        cfg_strength = cfg_strength if cfg_strength is not None else self.cfg_strength
+        speed = speed if speed is not None else self.speed
+        sway = sway_sampling_coef if sway_sampling_coef is not None else self.sway_sampling_coef
+
+        token_lists = []
+        durations = []
+        for text in texts:
+            local_speed = 0.3 if len(text.encode("utf-8")) < 10 else speed
+            full = ref.text + text
+            tokens = convert_char_to_pinyin([full])[0] if use_pinyin else list(full)
+            token_lists.append(tokens)
+            durations.append(max(self._duration_for(ref, text, local_speed, None),
+                                 ref.n_frames + 1))
+
+        bucket = pick_bucket(max(durations), self.duration_buckets)
+        text_bucket = pick_bucket(max(len(t) for t in token_lists), self.text_buckets)
+        text_ids = list_str_to_idx(token_lists, self.vocab_char_map, pad_to=text_bucket)
+        b = len(texts)
+        cond = jnp.broadcast_to(ref.mel, (b,) + ref.mel.shape[1:])
+
+        key = jax.random.key(seed if seed is not None else _random.randrange(2**31))
+        waves, _ = self._sample_vocode_jit(
+            self.params,
+            self.vocoder_params,
+            cond,
+            jnp.asarray(text_ids),
+            jnp.asarray([min(d, bucket) for d in durations]),
+            jnp.full((b,), ref.n_frames),
+            key,
+            steps=nfe_step,
+            cfg_strength=float(cfg_strength),
+            sway=float(sway) if sway is not None else None,
+            max_duration=bucket,
+        )
+        waves = np.asarray(waves, dtype=np.float32)
+        out = []
+        start = ref.n_frames * self.hop_length
+        for i, d in enumerate(durations):
+            wave = waves[i, start : min(d, bucket) * self.hop_length]
+            if ref.rms < self.target_rms and ref.rms > 0:
+                wave = wave * (ref.rms / self.target_rms)
+            out.append(wave)
+        return out
+
+    # ------------------------------------------------------------------
+
     def get_current_audio_length(self) -> float:
         """Seconds of the most recently generated audio (`f5tts_wrapper.py:609-614`)."""
         if self._last_wave is None:
