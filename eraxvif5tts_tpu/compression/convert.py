@@ -17,7 +17,7 @@ Weight layout transforms:
 from __future__ import annotations
 
 import re
-from typing import Any, Callable
+from typing import Callable
 
 import numpy as np
 

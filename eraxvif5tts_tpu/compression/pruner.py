@@ -191,14 +191,7 @@ def prune_checkpoint(
 
 def test_pruned_model(pruned_path: str, backbone: str = "DiT") -> bool:
     """Smoke-load the pruned checkpoint into a fresh model (`...pruner.py:1062`)."""
-    import jax
-    import jax.numpy as jnp
-
-    from eraxvif5tts_tpu.compression.convert import (
-        backbone_params_from_torch,
-        infer_text_num_embeds,
-    )
-    from eraxvif5tts_tpu.configs import ArchConfig, PRESETS
+    from eraxvif5tts_tpu.compression.convert import backbone_params_from_torch
 
     sd = normalize_reference_state_dict(load_state_dict(pruned_path))
     depth = infer_depth(sd)

@@ -16,9 +16,8 @@ from typing import Generator, Optional
 import numpy as np
 
 from eraxvif5tts_tpu.audio.io import read_wav, write_wav
-from eraxvif5tts_tpu.audio.resample import resample
 from eraxvif5tts_tpu.audio.silence import clip_reference_audio, split_on_silence
-from eraxvif5tts_tpu.infer.utils import cross_fade_concat, rms_of
+from eraxvif5tts_tpu.infer.utils import cross_fade_concat
 from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
 from eraxvif5tts_tpu.text.chunk import chunk_text  # noqa: F401  (re-export parity)
 
@@ -92,7 +91,7 @@ def load_model(model_cls_name, model_cfg: dict, ckpt_path: str, vocab_file: str 
                use_ema: bool = True, **_) -> F5TTSWrapper:
     """Build a wrapper from an arch dict + checkpoint (reference
     `utils_infer.py:232-270`)."""
-    from eraxvif5tts_tpu.configs import ModelConfig, model_config_from_dict
+    from eraxvif5tts_tpu.configs import model_config_from_dict
 
     backbone = model_cls_name if isinstance(model_cls_name, str) else "DiT"
     cfg = model_config_from_dict({"backbone": backbone, "arch": dict(model_cfg)})

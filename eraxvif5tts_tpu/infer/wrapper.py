@@ -50,7 +50,6 @@ from eraxvif5tts_tpu.infer.utils import (
 from eraxvif5tts_tpu.models.cfm import CFM
 from eraxvif5tts_tpu.models.dit import DiT
 from eraxvif5tts_tpu.models.vocos import Vocos
-from eraxvif5tts_tpu.ops.stft import MelSpectrogram
 from eraxvif5tts_tpu.text.pinyin import convert_char_to_pinyin
 from eraxvif5tts_tpu.text.chunk import chunk_text
 from eraxvif5tts_tpu.text.tokenizer import get_tokenizer, list_str_to_idx

@@ -13,8 +13,6 @@ Linear(512 -> n_fft + 2) head producing log-magnitude and phase, ISTFT (center).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -12,11 +12,9 @@ from __future__ import annotations
 
 import argparse
 import dataclasses
-import os
 from typing import Optional
 
 import jax
-import numpy as np
 
 from eraxvif5tts_tpu.configs import PRESETS, TrainConfig, load_yaml_config
 from eraxvif5tts_tpu.models import CFM, build_backbone
@@ -28,7 +26,7 @@ from eraxvif5tts_tpu.training.dataset import (
     collate,
     load_dataset,
 )
-from eraxvif5tts_tpu.training.trainer import Trainer, TrainState, make_optimizer
+from eraxvif5tts_tpu.training.trainer import Trainer, make_optimizer
 
 
 def build_trainer(cfg: TrainConfig, vocab_size: int, total_updates: int,

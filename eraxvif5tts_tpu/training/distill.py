@@ -17,9 +17,8 @@ passed as ordinary (non-donated) arguments so XLA holds one copy on device.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Optional
+from typing import Any
 
-import flax.struct
 import jax
 import jax.numpy as jnp
 import optax

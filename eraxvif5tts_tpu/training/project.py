@@ -21,7 +21,6 @@ import subprocess
 import sys
 from typing import Optional
 
-import numpy as np
 
 
 def transcribe_directory(wav_dir: str, output_csv: str, language: Optional[str] = None,
