@@ -53,12 +53,15 @@ class TextEmbedding(nn.Module):
         pad = seq_len - text.shape[1]
         if pad > 0:
             text = jnp.pad(text, ((0, 0), (0, pad)))
+        # Mask marks padding+filler of the ORIGINAL ids: computed BEFORE the CFG
+        # drop (reference `dit.py:54-59`), so the uncond branch still runs the
+        # conv stack over filler-token embeddings masked only at true padding.
+        filler_mask = text == 0
+
         drop_text = jnp.asarray(drop_text)
         if drop_text.ndim == 0:
             drop_text = jnp.broadcast_to(drop_text, (text.shape[0],))
         text = jnp.where(drop_text[:, None], 0, text)
-
-        filler_mask = text == 0  # padding + filler positions
 
         embed = nn.Embed(self.text_num_embeds + 1, self.text_dim, name="embed")(text)
         embed = embed.astype(self.dtype)

@@ -40,11 +40,12 @@ class MMTextEmbedding(nn.Module):
     @nn.compact
     def __call__(self, text: jnp.ndarray, drop_text) -> jnp.ndarray:
         text = text + 1
+        # Mask computed BEFORE the CFG drop (reference `mmdit.py:40-44`).
+        filler_mask = text == 0
         drop_text = jnp.asarray(drop_text)
         if drop_text.ndim == 0:
             drop_text = jnp.broadcast_to(drop_text, (text.shape[0],))
         text = jnp.where(drop_text[:, None], 0, text)
-        filler_mask = text == 0
         embed = nn.Embed(self.text_num_embeds + 1, self.out_dim, name="embed")(text)
         embed = embed.astype(self.dtype)
         table = jnp.asarray(abs_pos_embedding_table(self.out_dim, TEXT_MAX_POS), self.dtype)

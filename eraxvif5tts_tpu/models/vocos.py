@@ -91,7 +91,9 @@ class Vocos(nn.Module):
         x = x.swapaxes(1, 2)  # [b, n_fft + 2, n]
         n_bins = self.n_fft // 2 + 1
         log_mag, phase = x[:, :n_bins], x[:, n_bins:]
-        mag = jnp.exp(jnp.clip(log_mag, None, 1e2))
+        # Upstream Vocos ISTFTHead clips the *magnitude* at 1e2 (not the log-mag),
+        # so the spike safeguard actually engages on out-of-distribution mels.
+        mag = jnp.clip(jnp.exp(log_mag), None, 1e2)
         real = mag * jnp.cos(phase)
         imag = mag * jnp.sin(phase)
         return istft(real, imag, self.n_fft, self.hop_length, self.n_fft, center=True)

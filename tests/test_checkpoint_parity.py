@@ -138,9 +138,9 @@ class TDiT(tnn.Module):
         # text embedding
         text = (text + 1)[:, :n]
         text = tF.pad(text, (0, n - text.shape[1]))
+        tmask = text == 0  # BEFORE the drop, matching reference dit.py:54-59
         if drop_text:
             text = torch.zeros_like(text)
-        tmask = text == 0
         te = self.text_embed.text_embed(text)
         table = torch.from_numpy(abs_pos_embedding_table(a.text_dim, 4096))
         te = te + table[:n][None]
@@ -336,7 +336,7 @@ class TVocos(tnn.Module):
         x = self.backbone.final_layer_norm(x)
         x = self.head.out(x).transpose(1, 2)
         mag, p = x.chunk(2, dim=1)
-        mag = torch.exp(mag.clamp(max=1e2))
+        mag = torch.exp(mag).clamp(max=1e2)  # upstream Vocos clips magnitude
         S = mag * (torch.cos(p) + 1j * torch.sin(p))
         return torch.istft(
             S, self.n_fft, hop_length=self.hop, win_length=self.n_fft,
