@@ -63,25 +63,25 @@ def duration_params_from_torch(sd: dict[str, np.ndarray]) -> tuple[dict, dict]:
         return np.ascontiguousarray(np.asarray(w).transpose(2, 1, 0))
 
     params: dict = {}
-    key_map = {
-        "embedding.weight": ("embed", "embedding", None),
-        "embed.weight": ("embed", "embedding", None),
-    }
-    for k, v in sd.items():
-        v = np.asarray(v)
-        if k in key_map:
-            mod, name, _ = key_map[k]
-            params.setdefault(mod, {})[name] = v
-        elif ".0.weight" in k or k.startswith("conv"):
-            pass  # handled below
-    # conv stacks: try the canonical names
+    # Embedding table: the reference embeds `id + 1` into a (vocab+1)-row table
+    # (`duration_predictor.py:9,29`); this build looks ids up directly, so the
+    # torch row 0 (never addressed — phoneme ids are >= 0) is dropped on import.
+    if "text_embed.weight" in sd:
+        params["embed"] = {"embedding": np.asarray(sd["text_embed.weight"])[1:]}
+    else:
+        for k in ("embedding.weight", "embed.weight"):  # legacy unshifted layouts
+            if k in sd:
+                params["embed"] = {"embedding": np.asarray(sd[k])}
+                break
+    # conv stacks: reference names are conv_1/conv_2 + norm_1/norm_2
+    # (`duration_predictor.py:18-22`); aliases for other historical layouts
     for i in range(2):
-        for torch_name in (f"conv_layers.{i}.0", f"convs.{i}.conv", f"conv{i+1}"):
+        for torch_name in (f"conv_{i+1}", f"conv_layers.{i}.0", f"convs.{i}.conv"):
             wk, bk = f"{torch_name}.weight", f"{torch_name}.bias"
             if wk in sd:
                 params[f"conv_{i}"] = {"kernel": conv_t(sd[wk]), "bias": np.asarray(sd[bk])}
                 break
-        for torch_name in (f"conv_layers.{i}.2", f"norms.{i}", f"norm{i+1}"):
+        for torch_name in (f"norm_{i+1}", f"conv_layers.{i}.2", f"norms.{i}"):
             wk, bk = f"{torch_name}.weight", f"{torch_name}.bias"
             if wk in sd:
                 params[f"norm_{i}"] = {"scale": np.asarray(sd[wk]), "bias": np.asarray(sd[bk])}
@@ -101,17 +101,63 @@ def duration_params_from_torch(sd: dict[str, np.ndarray]) -> tuple[dict, dict]:
     return params, phoneme_map
 
 
+def duration_params_to_torch(params: dict) -> dict[str, np.ndarray]:
+    """Flax duration-predictor params -> the reference torch key layout
+    (``embedding.weight``, ``conv_layers.{i}.{0,2}.*``, ``proj.*``) so a predictor
+    trained here round-trips through ``load_duration_predictor`` and the reference
+    wrappers (`src/infer/f5tts_wrapper.py:469-525`)."""
+
+    def conv_t(w):  # flax [k, in, out] -> torch [out, in, k]
+        return np.ascontiguousarray(np.asarray(w).transpose(2, 1, 0))
+
+    emb = np.asarray(params["embed"]["embedding"])
+    # prepend the torch filler row 0 (see duration_params_from_torch)
+    sd: dict[str, np.ndarray] = {
+        "text_embed.weight": np.concatenate([np.zeros((1, emb.shape[1]), emb.dtype), emb]),
+    }
+    for i in range(2):
+        sd[f"conv_{i+1}.weight"] = conv_t(params[f"conv_{i}"]["kernel"])
+        sd[f"conv_{i+1}.bias"] = np.asarray(params[f"conv_{i}"]["bias"])
+        sd[f"norm_{i+1}.weight"] = np.asarray(params[f"norm_{i}"]["scale"])
+        sd[f"norm_{i+1}.bias"] = np.asarray(params[f"norm_{i}"]["bias"])
+    sd["proj.weight"] = conv_t(params["proj"]["kernel"])
+    sd["proj.bias"] = np.asarray(params["proj"]["bias"])
+    return sd
+
+
+def save_duration_predictor(path: str, params: dict, phoneme_map: dict[str, int],
+                            update: int = 0, duration_loss_weight: float = 0.1) -> str:
+    """Write the reference-format predictor checkpoint with embedded phoneme_map
+    (reference `trainer.py:1367-1377`)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.asarray(v)) for k, v in
+          duration_params_to_torch(params).items()}
+    torch.save({
+        "duration_predictor": sd,
+        "update": update,
+        "duration_loss_weight": duration_loss_weight,
+        "phoneme_map": dict(phoneme_map),
+    }, path)
+    return path
+
+
 def load_duration_predictor(ckpt_path: str):
     """Load a duration-predictor checkpoint with embedded phoneme_map."""
     import torch
 
     raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     phoneme_map = raw.get("phoneme_map", {}) if isinstance(raw, dict) else {}
-    sd = raw.get("model_state_dict", raw) if isinstance(raw, dict) else raw
+    sd = raw
+    if isinstance(raw, dict):
+        # reference layout (`trainer.py:1367-1377`) nests under 'duration_predictor'
+        sd = raw.get("duration_predictor", raw.get("model_state_dict", raw))
     sd_np = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     params, _ = duration_params_from_torch(sd_np)
-    vocab = params["embed"]["embedding"].shape[0]
-    model = DurationPredictor(vocab_size=vocab)
+    vocab, d_model = params["embed"]["embedding"].shape
+    k, _, d_filter = params["conv_0"]["kernel"].shape
+    model = DurationPredictor(vocab_size=vocab, d_model=d_model, d_filter=d_filter,
+                              kernel_size=k)
     return model, params, phoneme_map
 
 

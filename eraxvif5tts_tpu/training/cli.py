@@ -4,14 +4,22 @@
   hydra replaced with the typed config tree).
 - ``finetune_main``: argparse finetune/from-scratch CLI with the experiment presets
   including the pruned students (reference `train/finetune_cli.py:192-498`,
-  presets `:222-249`), vocab extension for pruned models (`:287-305`), optional
-  duration predictor (`:349-361`).
+  presets `:222-249`), vocab extension for pruned models (`:287-305`),
+  duration-predictor curriculum (`:349-361`), xavier-family scratch init (`:26-97`),
+  per-save sample synthesis (`trainer.py:1387-1419`), and mid-epoch resume
+  (`trainer.py:1196-1206`).
+
+Config knobs are honored or loudly rejected — never silently ignored:
+``batch_size_type: sample`` batches by sample count, ``logger: wandb`` falls back
+with a printed warning when wandb is missing, ``bnb_optimizer: true`` raises (no
+bitsandbytes on TPU; AdamW sharding makes it unnecessary).
 """
 
 from __future__ import annotations
 
 import argparse
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -28,9 +36,40 @@ from eraxvif5tts_tpu.training.dataset import (
 )
 from eraxvif5tts_tpu.training.trainer import Trainer, make_optimizer
 
+# sample-count batching packs up to this many frames before max_samples kicks in
+# (i.e. never, for realistic sample counts) — see DatasetConfig.batch_size_type.
+_UNBOUNDED_FRAMES = 1 << 30
+
+
+def build_sampler(dataset, cfg: TrainConfig, seed: int) -> DynamicBatchSampler:
+    """Frame-budget packing, or fixed sample-count batches when the config says
+    ``batch_size_type: sample`` (reference `trainer.py:1137-1170` branches on it)."""
+    frame_lengths = [dataset.frame_length(i) for i in range(len(dataset))]
+    if cfg.datasets.batch_size_type == "sample":
+        return DynamicBatchSampler(
+            frame_lengths, _UNBOUNDED_FRAMES,
+            max_samples=cfg.datasets.batch_size_per_gpu, random_seed=seed,
+        )
+    if cfg.datasets.batch_size_type != "frame":
+        raise ValueError(
+            f"batch_size_type must be 'frame' or 'sample', got "
+            f"{cfg.datasets.batch_size_type!r}"
+        )
+    return DynamicBatchSampler(
+        frame_lengths, cfg.datasets.batch_size_per_gpu,
+        max_samples=cfg.datasets.max_samples, random_seed=seed,
+    )
+
 
 def build_trainer(cfg: TrainConfig, vocab_size: int, total_updates: int,
-                  checkpoint_dir: Optional[str] = None, n_model: int = 1) -> Trainer:
+                  checkpoint_dir: Optional[str] = None, n_model: int = 1,
+                  duration_predictor=None, duration_focus_updates: int = 12000,
+                  ) -> Trainer:
+    if cfg.optim.bnb_optimizer:
+        raise ValueError(
+            "bnb_optimizer=true is CUDA-only (bitsandbytes); the TPU build always "
+            "uses optax AdamW — drop the flag from the config"
+        )
     transformer = build_backbone(cfg.model, text_num_embeds=vocab_size)
     cfm = CFM.build(transformer, cfg.model.mel_spec)
     optimizer = make_optimizer(
@@ -46,18 +85,111 @@ def build_trainer(cfg: TrainConfig, vocab_size: int, total_updates: int,
         grad_accumulation_steps=cfg.optim.grad_accumulation_steps,
         checkpoint_dir=checkpoint_dir or cfg.ckpts.save_dir,
         keep_last_n_checkpoints=cfg.ckpts.keep_last_n_checkpoints,
+        duration_predictor=duration_predictor,
+        duration_focus_updates=duration_focus_updates,
     )
 
 
+def epoch_batches(dataset: CustomDataset, sampler: DynamicBatchSampler,
+                  vocab_char_map: dict, epoch: int, tokenize=None,
+                  phoneme_map: Optional[dict] = None):
+    """One epoch of collated bucketed batches (generator)."""
+    sampler.set_epoch(epoch)
+    for batch_indices in sampler:
+        samples = [dataset[i] for i in batch_indices]
+        if any(s.mel is None for s in samples):
+            continue
+        yield collate(samples, vocab_char_map, tokenize=tokenize,
+                      phoneme_map=phoneme_map)
+
+
 def batch_iterator(dataset: CustomDataset, sampler: DynamicBatchSampler,
-                   vocab_char_map: dict, tokenize=None, epochs: int = 1):
+                   vocab_char_map: dict, tokenize=None, epochs: int = 1,
+                   phoneme_map: Optional[dict] = None):
     for epoch in range(epochs):
-        sampler.set_epoch(epoch)
-        for batch_indices in sampler:
-            samples = [dataset[i] for i in batch_indices]
-            if any(s.mel is None for s in samples):
-                continue
-            yield collate(samples, vocab_char_map, tokenize=tokenize)
+        yield from epoch_batches(dataset, sampler, vocab_char_map, epoch,
+                                 tokenize=tokenize, phoneme_map=phoneme_map)
+
+
+def _make_tokenize(tokenizer: str):
+    from eraxvif5tts_tpu.text.pinyin import convert_char_to_pinyin
+
+    def tokenize(text):
+        if tokenizer == "pinyin":
+            return convert_char_to_pinyin([text])[0] if isinstance(text, str) else text
+        return list(text) if isinstance(text, str) else text
+
+    return tokenize
+
+
+def _run_training(trainer: Trainer, cfg: TrainConfig, dataset, sampler,
+                  vocab_char_map, state, rng, tokenize=None,
+                  phoneme_map: Optional[dict] = None, resume: Optional[str] = None,
+                  log_samples: Optional[bool] = None, log_every: int = 100):
+    """Shared drive loop: resume (incl. mid-epoch), per-save samples, loggers."""
+    start_epoch = skip_batches = 0
+    if resume:
+        state = trainer.load_checkpoint(resume, state)
+        if trainer.resume_meta:
+            start_epoch, skip_batches = trainer.restore_meta(trainer.resume_meta)
+            print(f"[cli] resuming at epoch {start_epoch}, batch {skip_batches}, "
+                  f"update {int(state.step)}")
+
+    trainer.set_steps_per_epoch(max(len(sampler), 1))
+
+    def log_fn(step, metrics):
+        print(f"update {step}: " + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+
+    sample_fn = None
+    if (cfg.ckpts.log_samples if log_samples is None else log_samples):
+        from eraxvif5tts_tpu.training.sampling import make_sample_fn, prompts_from_dataset
+
+        prompts = prompts_from_dataset(dataset, count=1)
+        if prompts:
+            base_sample = make_sample_fn(
+                trainer.cfm, vocab_char_map, prompts,
+                out_dir=os.path.join(trainer.checkpoint_dir, "samples"),
+                tokenize=tokenize,
+            )
+
+            def sample_fn(state, step):
+                written = base_sample(state, step)
+                print(f"[cli] wrote sample artifacts: {written}")
+                if state.dur_pred_params is not None and phoneme_map is not None:
+                    from eraxvif5tts_tpu.models.duration import save_duration_predictor
+
+                    p = os.path.join(trainer.checkpoint_dir,
+                                     f"duration_predictor_{step}.pt")
+                    save_duration_predictor(
+                        p, jax.device_get(state.dur_pred_params), phoneme_map,
+                        update=step,
+                    )
+                    print(f"[cli] saved duration predictor: {p}")
+
+    state = trainer.train(
+        state, rng=rng,
+        epoch_iter=lambda e: epoch_batches(dataset, sampler, vocab_char_map, e,
+                                           tokenize=tokenize,
+                                           phoneme_map=phoneme_map),
+        epochs=cfg.optim.epochs, start_epoch=start_epoch, skip_batches=skip_batches,
+        log_every=log_every,
+        save_per_updates=cfg.ckpts.save_per_updates,
+        last_per_updates=cfg.ckpts.last_per_updates,
+        log_fn=log_fn, sample_fn=sample_fn, logger=cfg.ckpts.logger,
+        tensorboard_dir=(os.path.join(trainer.checkpoint_dir, "runs")
+                         if cfg.ckpts.logger == "tensorboard" else None),
+    )
+    trainer.save_checkpoint(state, last=True,
+                            meta=trainer._make_meta(cfg.optim.epochs - 1, 0))
+    if state.dur_pred_params is not None and phoneme_map is not None:
+        from eraxvif5tts_tpu.models.duration import save_duration_predictor
+
+        save_duration_predictor(
+            os.path.join(trainer.checkpoint_dir, "duration_predictor_last.pt"),
+            jax.device_get(state.dur_pred_params), phoneme_map,
+            update=int(state.step),
+        )
+    return state
 
 
 def train_main(argv=None):
@@ -78,35 +210,18 @@ def train_main(argv=None):
     dataset = load_dataset(cfg.datasets.name, cfg.model.tokenizer,
                            data_dir=args.data_dir,
                            mel_spec_kwargs=dataclasses.asdict(cfg.model.mel_spec))
-    frame_lengths = [dataset.frame_length(i) for i in range(len(dataset))]
-    sampler = DynamicBatchSampler(
-        frame_lengths, cfg.datasets.batch_size_per_gpu,
-        max_samples=cfg.datasets.max_samples, random_seed=args.seed,
+    sampler = build_sampler(dataset, cfg, args.seed)
+    total_updates = max(
+        len(sampler) * cfg.optim.epochs // cfg.optim.grad_accumulation_steps, 1
     )
-    total_updates = len(sampler) * cfg.optim.epochs
 
     trainer = build_trainer(cfg, vocab_size, total_updates, n_model=args.n_model)
     rng = jax.random.key(args.seed)
     state = trainer.init_state(rng)
-    if args.resume:
-        state = trainer.load_checkpoint(args.resume, state)
-
-    def log_fn(step, metrics):
-        print(f"update {step}: " + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
-
-    from eraxvif5tts_tpu.text.pinyin import convert_char_to_pinyin
-
-    def tokenize(text):
-        if cfg.model.tokenizer == "pinyin":
-            return convert_char_to_pinyin([text])[0] if isinstance(text, str) else text
-        return list(text) if isinstance(text, str) else text
-
-    batches = batch_iterator(dataset, sampler, vocab_char_map, tokenize=tokenize,
-                             epochs=cfg.optim.epochs)
-    state = trainer.train(state, batches, rng,
-                          save_per_updates=cfg.ckpts.save_per_updates, log_fn=log_fn)
-    trainer.save_checkpoint(state, last=True)
-    return state
+    return _run_training(
+        trainer, cfg, dataset, sampler, vocab_char_map, state, rng,
+        tokenize=_make_tokenize(cfg.model.tokenizer), resume=args.resume,
+    )
 
 
 def finetune_main(argv=None):
@@ -127,11 +242,17 @@ def finetune_main(argv=None):
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--num_warmup_updates", type=int, default=20000)
     p.add_argument("--save_per_updates", type=int, default=50000)
+    p.add_argument("--last_per_updates", type=int, default=5000)
     p.add_argument("--keep_last_n_checkpoints", type=int, default=-1)
     p.add_argument("--finetune", action="store_true", default=True)
     p.add_argument("--from-scratch", dest="finetune", action="store_false")
     p.add_argument("--use_duration_predictor", action="store_true")
+    p.add_argument("--duration_focus_updates", type=int, default=12000)
+    p.add_argument("--logger", default="tensorboard",
+                   choices=["tensorboard", "wandb", "none"])
+    p.add_argument("--log_samples", action="store_true", default=False)
     p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--resume", default=None, help="checkpoint dir/path to resume")
     p.add_argument("--seed", type=int, default=666)
     args = p.parse_args(argv)
 
@@ -162,22 +283,43 @@ def finetune_main(argv=None):
         ),
         datasets=DatasetConfig(name=args.dataset_name,
                                batch_size_per_gpu=args.batch_size_per_gpu,
+                               batch_size_type=args.batch_size_type,
                                max_samples=args.max_samples),
         ckpts=CkptConfig(save_per_updates=args.save_per_updates,
+                         last_per_updates=args.last_per_updates,
                          keep_last_n_checkpoints=args.keep_last_n_checkpoints,
+                         logger=None if args.logger == "none" else args.logger,
+                         log_samples=args.log_samples,
                          save_dir=args.checkpoint_dir or f"ckpts/{args.exp_name}"),
     )
 
     dataset = load_dataset(cfg.datasets.name, args.tokenizer, data_dir=args.data_dir,
                            mel_spec_kwargs=dataclasses.asdict(cfg.model.mel_spec))
-    frame_lengths = [dataset.frame_length(i) for i in range(len(dataset))]
-    sampler = DynamicBatchSampler(frame_lengths, cfg.datasets.batch_size_per_gpu,
-                                  max_samples=cfg.datasets.max_samples,
-                                  random_seed=args.seed)
-    total_updates = max(len(sampler) * cfg.optim.epochs, 1)
-    trainer = build_trainer(cfg, vocab_size, total_updates)
+    sampler = build_sampler(dataset, cfg, args.seed)
+    total_updates = max(
+        len(sampler) * cfg.optim.epochs // cfg.optim.grad_accumulation_steps, 1
+    )
 
     rng = jax.random.key(args.seed)
+
+    # duration-predictor curriculum (reference `finetune_cli.py:349-361`): the
+    # predictor is instantiated as (vocab, 512, 32, k=3, p=0.5); phonemes are
+    # collated into the batch and the Trainer runs the two-phase focus schedule.
+    duration_predictor = None
+    phoneme_map: Optional[dict] = None
+    if args.use_duration_predictor:
+        from eraxvif5tts_tpu.models.duration import DurationPredictor
+
+        duration_predictor = DurationPredictor(
+            vocab_size=vocab_size + 1, d_model=512, d_filter=32,
+            kernel_size=3, dropout=0.5,
+        )
+        phoneme_map = {}
+
+    trainer = build_trainer(cfg, vocab_size, total_updates,
+                            duration_predictor=duration_predictor,
+                            duration_focus_updates=args.duration_focus_updates)
+
     if args.finetune and args.pretrain:
         # import reference checkpoint, extending the vocab table if the dataset's
         # vocab outgrew the checkpoint (`finetune_cli.py:287-305`)
@@ -200,15 +342,25 @@ def finetune_main(argv=None):
         state = trainer.init_state(rng, params=params)
     else:
         state = trainer.init_state(rng)
+        if not args.finetune:
+            # xavier-family scratch init (reference `finetune_cli.py:26-97`)
+            from eraxvif5tts_tpu.training.scratch_init import init_weights_tts
 
-    def log_fn(step, metrics):
-        print(f"update {step}: " + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
+            params = init_weights_tts(state.params, jax.random.fold_in(rng, 2))
+            kwargs = {}
+            if state.dur_pred_params is not None:
+                dp = init_weights_tts(state.dur_pred_params, jax.random.fold_in(rng, 3))
+                kwargs = {"dur_pred_params": dp,
+                          "dur_align_params": jax.tree.map(lambda x: x, dp)}
+            state = state.replace(
+                params=params, ema_params=jax.tree.map(lambda x: x, params), **kwargs
+            )
 
-    batches = batch_iterator(dataset, sampler, vocab_char_map, epochs=cfg.optim.epochs)
-    state = trainer.train(state, batches, rng,
-                          save_per_updates=cfg.ckpts.save_per_updates, log_fn=log_fn)
-    trainer.save_checkpoint(state, last=True)
-    return state
+    return _run_training(
+        trainer, cfg, dataset, sampler, vocab_char_map, state, rng,
+        tokenize=_make_tokenize(args.tokenizer), phoneme_map=phoneme_map,
+        resume=args.resume,
+    )
 
 
 if __name__ == "__main__":

@@ -270,12 +270,18 @@ def collate(
     text[:b, :] = ids
 
     out = {"mel": mel, "text": text, "lens": lens}
-    if phoneme_map is not None and any(s.phoneme for s in samples):
-        from eraxvif5tts_tpu.text.phoneme import phoneme_to_indices
+    if phoneme_map is not None:
+        from eraxvif5tts_tpu.text.phoneme import phoneme_to_indices, phonemize
 
         ph_lists = []
         for s in samples:
-            phones = s.phoneme.split() if isinstance(s.phoneme, str) else (s.phoneme or [])
+            if s.phoneme:
+                phones = s.phoneme.split() if isinstance(s.phoneme, str) else s.phoneme
+            else:
+                # no phoneme column: phonemize the text (the reference warns and
+                # falls back to text tokens, `trainer.py:857-864`)
+                raw = s.text if isinstance(s.text, str) else "".join(map(str, s.text))
+                phones = phonemize(raw)
             ph_lists.append(phoneme_to_indices(list(phones), phoneme_map, grow=True))
         ph_width = _bucket(max((len(p) for p in ph_lists), default=1), text_buckets)
         phoneme = np.zeros((rows, ph_width), np.int32)

@@ -8,15 +8,33 @@ Replaces the reference's Accelerate-DDP ``Trainer`` (reference
   via optax, with global-norm clipping (`:1283`).
 - Gradient all-reduce over ICI falls out of GSPMD (batch sharded on ``data``,
   params replicated/TP-sharded) — no hand-written comm.
+- **Gradient accumulation** (reference wraps steps in ``accelerator.accumulate``,
+  `trainer.py:1230-1280`) via ``optax.MultiSteps``: the running-mean gradient
+  accumulator lives in the optimizer state, so it is sharded, donated, and
+  checkpointed like everything else. ``state.step`` counts *applied updates*
+  (the reference's ``global_update``), not micro-batches.
+- **NaN/Inf skip** in the main step (the reference only had it in distillation,
+  `distil_reload.py:1126`): a non-finite micro-batch contributes nothing — with
+  accumulation it is not even counted into the running mean
+  (``optax.skip_not_finite``).
 - EMA (beta 0.9999, update_every 10 — ema_pytorch defaults used at `trainer.py:180`)
-  is updated **in-jit on every shard** instead of main-process-only: cheaper than a
-  gather, and the EMA tree is checkpointed like params.
-- Orbax checkpoints: params/EMA/optimizer/step, `keep_last_n` rotation
-  (`trainer.py:560-597`), resume (`trainer.py:600-827`).
+  is updated **in-jit on every shard** on applied updates only.
+- Orbax checkpoints: params/EMA/optimizer/step + duration-predictor state,
+  `keep_last_n` rotation (`trainer.py:560-597`), resume (`trainer.py:600-827`)
+  including **mid-epoch resume**: a ``.meta.json`` sidecar records the epoch /
+  batch cursor + curriculum state (the reference uses
+  ``accelerator.skip_first_batches`` + ``resumable_with_seed``,
+  `trainer.py:1196-1206`). Per-batch RNG is ``fold_in(rng, epoch, batch)`` so an
+  interrupted run resumes bit-exactly.
+- The train loop never syncs the device per step: the update counter is mirrored
+  host-side and re-synced only at log/save points (the old ``int(state.step)``
+  per step was a hidden round-trip).
 """
 
 from __future__ import annotations
 
+import itertools
+import json
 import os
 from dataclasses import dataclass
 from typing import Any, Callable, Iterable, Optional
@@ -32,7 +50,7 @@ from eraxvif5tts_tpu.parallel.mesh import batch_sharding, make_mesh, replicated,
 
 
 class TrainState(flax.struct.PyTreeNode):
-    step: jnp.ndarray
+    step: jnp.ndarray  # number of APPLIED optimizer updates (reference global_update)
     params: Any
     opt_state: Any
     ema_params: Any
@@ -65,6 +83,41 @@ def make_optimizer(
     )
 
 
+def _select_tree(pred, on_true, on_false):
+    """Per-leaf jnp.where over two same-structure pytrees (NaN-skip select)."""
+    return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
+
+
+def alignment_quality_metrics(durations, phoneme_mask, mel_lens):
+    """Device-side coverage/diagonal quality of a MAS alignment.
+
+    - ``coverage``: fraction of phonemes receiving >= 1 full frame (degenerate
+      0.1-clamped tokens indicate a collapsed alignment).
+    - ``diagonal``: 1 - mean |realized phoneme center - uniform-diagonal center|
+      normalized by the mel length.
+
+    These feed ``DurationWeightScheduler`` (the reference instantiates it at
+    `trainer.py:225` but never computes its inputs; here the loop actually drives it
+    when ``use_adaptive_duration_weight`` is on).
+    """
+    maskf = phoneme_mask.astype(jnp.float32)
+    ntok = jnp.maximum(maskf.sum(axis=1), 1.0)
+    coverage = ((durations >= 1.0).astype(jnp.float32) * maskf).sum(axis=1) / ntok
+
+    ends = jnp.cumsum(durations, axis=-1)
+    centers = ends - durations / 2.0
+    nt = durations.shape[1]
+    idx = jnp.arange(nt, dtype=jnp.float32)[None, :]
+    mel_f = jnp.maximum(mel_lens.astype(jnp.float32), 1.0)[:, None]
+    diag_centers = (idx + 0.5) * mel_f / ntok[:, None]
+    dev = jnp.abs(centers - diag_centers) * maskf
+    diagonal = 1.0 - (dev.sum(axis=1) / ntok) / mel_f[:, 0]
+
+    valid = (phoneme_mask.any(axis=1)).astype(jnp.float32)
+    denom = jnp.maximum(valid.sum(), 1.0)
+    return (coverage * valid).sum() / denom, (jnp.clip(diagonal, 0.0, 1.0) * valid).sum() / denom
+
+
 @dataclass
 class Trainer:
     """Drives the sharded train loop. All device work is one jit per batch bucket."""
@@ -85,22 +138,50 @@ class Trainer:
     duration_predictor: Any = None  # DurationPredictor module
     duration_focus_updates: int = 12000
     duration_lr: Optional[float] = None  # defaults to main LR, weight decay 3e-4
+    # Quality-adaptive duration weight (reference `trainer.py:36-91`, unused there;
+    # wired for real here): when on, the weight follows the sigmoid/decay schedule
+    # driven by the in-jit coverage/diagonal metrics instead of the manager's cosine.
+    use_adaptive_duration_weight: bool = False
 
     def __post_init__(self):
         if self.mesh is None:
             self.mesh = make_mesh(n_model=1)
+        k = max(int(self.grad_accumulation_steps), 1)
+        self.grad_accumulation_steps = k
+        if k > 1:
+            # Running-mean accumulator in opt state; non-finite micro-batches are
+            # dropped from the mean entirely (reference skips the batch).
+            self._opt = optax.MultiSteps(
+                self.optimizer, every_k_schedule=k,
+                should_skip_update_fn=optax.skip_not_finite,
+            )
+        else:
+            self._opt = self.optimizer
         self._step_fn = None
         self._dur_step_fns = {}
         self._mel_proj = None
         self.alignment_manager = None
+        self.resume_meta: Optional[dict] = None
+        self._host_step: Optional[int] = None
+        self._current_epoch: Optional[int] = None
+        self._dur_weight_sched = None
+        self._last_quality = (0.0, 0.0)
+        self._steps_per_epoch: Optional[int] = None
         if self.duration_predictor is not None:
             from eraxvif5tts_tpu.training.alignment import AlignmentMethodManager
 
             self.alignment_manager = AlignmentMethodManager()
             self._phase2_start: Optional[int] = None
-            self._dur_optimizer = optax.adamw(
+            dur_base = optax.adamw(
                 self.duration_lr or 7.5e-5, b1=0.9, b2=0.98, weight_decay=3e-4
             )
+            if k > 1:
+                self._dur_optimizer = optax.MultiSteps(
+                    dur_base, every_k_schedule=k,
+                    should_skip_update_fn=optax.skip_not_finite,
+                )
+            else:
+                self._dur_optimizer = dur_base
 
     # ------------------------------------------------------------------
 
@@ -108,7 +189,7 @@ class Trainer:
                    dur_pred_params: Any | None = None) -> TrainState:
         params = params if params is not None else self.cfm.init_params(rng)
         params = shard_params(self.mesh, params)
-        opt_state = jax.jit(self.optimizer.init)(params)
+        opt_state = jax.jit(self._opt.init)(params)
         dur_params = dur_align = dur_opt = None
         if self.duration_predictor is not None:
             if dur_pred_params is None:
@@ -133,12 +214,36 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _applied_and_update(self, grads, opt_state, params, loss):
+        """Run the (possibly accumulating) optimizer; returns
+        (new_params, new_opt_state, applied) with NaN-skip semantics."""
+        if self.grad_accumulation_steps > 1:
+            updates, new_opt = self._opt.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            applied = new_opt.gradient_step != opt_state.gradient_step
+            return new_params, new_opt, applied
+        finite = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+        updates, new_opt = self._opt.update(grads, opt_state, params)
+        cand = optax.apply_updates(params, updates)
+        new_params = _select_tree(finite, cand, params)
+        new_opt = _select_tree(finite, new_opt, opt_state)
+        return new_params, new_opt, finite
+
+    def _ema_map(self, applied, step, ema_tree, param_tree):
+        ema_decay, ema_after, ema_every = (
+            self.ema_decay, self.ema_update_after_step, self.ema_update_every
+        )
+
+        def ema_update(ema, p):
+            decayed = ema * ema_decay + p * (1.0 - ema_decay)
+            take_copy = step <= ema_after
+            do_update = applied & ((step % ema_every == 0) | take_copy)
+            return jnp.where(do_update, jnp.where(take_copy, p, decayed), ema)
+
+        return jax.tree.map(ema_update, ema_tree, param_tree)
+
     def _build_step(self):
         cfm = self.cfm
-        optimizer = self.optimizer
-        ema_decay = self.ema_decay
-        ema_after = self.ema_update_after_step
-        ema_every = self.ema_update_every
 
         def step_fn(state: TrainState, mel, text, lens, rng):
             def loss_fn(params):
@@ -146,85 +251,116 @@ class Trainer:
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
-            updates, new_opt_state = optimizer.update(
-                grads, state.opt_state, state.params
-            )
-            new_params = optax.apply_updates(state.params, updates)
-            step = state.step + 1
-
-            # EMA: copy until warm, then decay every `ema_every` steps.
-            def ema_update(ema, p):
-                decayed = ema * ema_decay + p * (1.0 - ema_decay)
-                take_copy = step <= ema_after
-                do_update = (step % ema_every == 0) | take_copy
-                new = jnp.where(take_copy, p, decayed)
-                return jnp.where(do_update, new, ema)
-
-            new_ema = jax.tree.map(ema_update, state.ema_params, new_params)
             grad_norm = optax.global_norm(grads)
-            new_state = TrainState(
-                step=step, params=new_params, opt_state=new_opt_state, ema_params=new_ema
+            new_params, new_opt_state, applied = self._applied_and_update(
+                grads, state.opt_state, state.params, loss
             )
-            return new_state, {"loss": loss, "grad_norm": grad_norm}
+            step = state.step + applied.astype(jnp.int32)
+            new_ema = self._ema_map(applied, step, state.ema_params, new_params)
+            new_state = state.replace(
+                step=step, params=new_params, opt_state=new_opt_state,
+                ema_params=new_ema,
+            )
+            metrics = {"loss": loss, "grad_norm": grad_norm,
+                       "applied": applied.astype(jnp.float32)}
+            return new_state, metrics
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def _build_dur_step(self, algorithm: str, freeze_main: bool):
         """Train step with the MAS duration loss. Static variants per
-        (alignment algorithm, focus-phase flag); the focus phase zeroes the main
-        model's gradients (`trainer.py:286-300`)."""
+        (alignment algorithm, focus-phase flag). In the focus phase the main
+        model is truly frozen — its optimizer never runs, so neither AdamW
+        moments nor weight decay touch it (reference freezes via
+        ``requires_grad=False``, `trainer.py:286-300`)."""
         from eraxvif5tts_tpu.training.alignment import duration_loss as dur_loss_fn
 
         cfm = self.cfm
-        optimizer = self.optimizer
         dur_optimizer = self._dur_optimizer
         dur_predictor = self.duration_predictor
-        ema_decay = self.ema_decay
-        ema_after = self.ema_update_after_step
-        ema_every = self.ema_update_every
 
         def step_fn(state: TrainState, mel, text, lens, phoneme, mel_proj, dur_weight, rng):
-            def loss_fn(params, dur_params):
-                cfm_loss, _, _ = cfm.loss(params, mel, text, lens, rng)
-                embed_table = state.dur_align_params["embed"]["embedding"]
-                d_loss, d_mae, _ = dur_loss_fn(
+            embed_table = state.dur_align_params["embed"]["embedding"]
+
+            def dur_only(dur_params):
+                d_loss, d_mae, durs = dur_loss_fn(
                     dur_predictor, dur_params, embed_table, mel_proj,
                     phoneme, mel, lens, algorithm,
                 )
-                total = cfm_loss + dur_weight * d_loss
-                return total, (cfm_loss, d_loss, d_mae)
+                return d_loss, (d_mae, durs)
 
-            (total, (cfm_loss, d_loss, d_mae)), grads = jax.value_and_grad(
-                loss_fn, argnums=(0, 1), has_aux=True
-            )(state.params, state.dur_pred_params)
-            main_grads, dur_grads = grads
             if freeze_main:
-                main_grads = jax.tree.map(jnp.zeros_like, main_grads)
+                (d_loss, (d_mae, durs)), dur_grads = jax.value_and_grad(
+                    dur_only, has_aux=True
+                )(state.dur_pred_params)
+                # forward-only CFM loss for logging parity; no main backward at all
+                cfm_loss, _, _ = cfm.loss(
+                    jax.lax.stop_gradient(state.params), mel, text, lens, rng,
+                    deterministic=True,
+                )
+                total = cfm_loss + dur_weight * d_loss
+                # Advance the main optimizer's schedule/counts on zero grads but
+                # leave params untouched (the reference's LR scheduler steps during
+                # the focus phase while frozen params get neither grads nor weight
+                # decay, `trainer.py:286-300, 1285-1287`).
+                zero_grads = jax.tree.map(jnp.zeros_like, state.params)
+                if self.grad_accumulation_steps > 1:
+                    _, new_opt = self._opt.update(
+                        zero_grads, state.opt_state, state.params
+                    )
+                    main_applied = new_opt.gradient_step != state.opt_state.gradient_step
+                else:
+                    _, new_opt = self._opt.update(
+                        zero_grads, state.opt_state, state.params
+                    )
+                    main_applied = jnp.asarray(True)
+                new_params = state.params
+                main_grad_norm = jnp.zeros(())
+            else:
+                def loss_fn(params, dur_params):
+                    cfm_loss, _, _ = cfm.loss(params, mel, text, lens, rng)
+                    d_loss, (d_mae, durs) = dur_only(dur_params)
+                    total = cfm_loss + dur_weight * d_loss
+                    return total, (cfm_loss, d_loss, d_mae, durs)
 
-            updates, new_opt = optimizer.update(main_grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            d_updates, new_dur_opt = dur_optimizer.update(
-                dur_grads, state.dur_opt_state, state.dur_pred_params
-            )
-            new_dur_params = optax.apply_updates(state.dur_pred_params, d_updates)
-            step = state.step + 1
+                (total, (cfm_loss, d_loss, d_mae, durs)), grads = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1), has_aux=True
+                )(state.params, state.dur_pred_params)
+                main_grads, dur_grads = grads
+                main_grad_norm = optax.global_norm(main_grads)
+                new_params, new_opt, main_applied = self._applied_and_update(
+                    main_grads, state.opt_state, state.params, total
+                )
 
-            def ema_update(ema, p):
-                decayed = ema * ema_decay + p * (1.0 - ema_decay)
-                take_copy = step <= ema_after
-                do_update = (step % ema_every == 0) | take_copy
-                return jnp.where(do_update, jnp.where(take_copy, p, decayed), ema)
+            # duration-predictor optimizer (separate group, 3e-4 wd)
+            if self.grad_accumulation_steps > 1:
+                d_updates, new_dur_opt = dur_optimizer.update(
+                    dur_grads, state.dur_opt_state, state.dur_pred_params
+                )
+                new_dur_params = optax.apply_updates(state.dur_pred_params, d_updates)
+            else:
+                d_finite = jnp.isfinite(d_loss) & jnp.isfinite(optax.global_norm(dur_grads))
+                d_updates, new_dur_opt = dur_optimizer.update(
+                    dur_grads, state.dur_opt_state, state.dur_pred_params
+                )
+                cand = optax.apply_updates(state.dur_pred_params, d_updates)
+                new_dur_params = _select_tree(d_finite, cand, state.dur_pred_params)
+                new_dur_opt = _select_tree(d_finite, new_dur_opt, state.dur_opt_state)
 
-            new_ema = jax.tree.map(ema_update, state.ema_params, new_params)
-            new_state = TrainState(
+            step = state.step + main_applied.astype(jnp.int32)
+            new_ema = self._ema_map(main_applied, step, state.ema_params, new_params)
+            coverage, diagonal = alignment_quality_metrics(durs, phoneme > 0, lens)
+            new_state = state.replace(
                 step=step, params=new_params, opt_state=new_opt, ema_params=new_ema,
                 dur_pred_params=new_dur_params,
-                dur_align_params=state.dur_align_params,
                 dur_opt_state=new_dur_opt,
             )
             metrics = {"loss": total, "cfm_loss": cfm_loss,
                        "duration_loss": d_loss, "duration_mae": d_mae,
-                       "grad_norm": optax.global_norm(main_grads)}
+                       "align_coverage": coverage, "align_diagonal": diagonal,
+                       "duration_weight": dur_weight,
+                       "grad_norm": main_grad_norm,
+                       "applied": main_applied.astype(jnp.float32)}
             return new_state, metrics
 
         return jax.jit(step_fn, donate_argnums=(0,))
@@ -237,28 +373,35 @@ class Trainer:
         if b % n_data == 0:
             return batch
         pad = n_data - b % n_data
-        import numpy as _np
 
         out = {
-            "mel": _np.concatenate(
-                [batch["mel"], _np.zeros((pad,) + batch["mel"].shape[1:],
-                                         batch["mel"].dtype)]),
-            "text": _np.concatenate(
-                [batch["text"], _np.full((pad,) + batch["text"].shape[1:], -1,
-                                         batch["text"].dtype)]),
-            "lens": _np.concatenate(
-                [batch["lens"], _np.zeros((pad,), batch["lens"].dtype)]),
+            "mel": np.concatenate(
+                [batch["mel"], np.zeros((pad,) + batch["mel"].shape[1:],
+                                        batch["mel"].dtype)]),
+            "text": np.concatenate(
+                [batch["text"], np.full((pad,) + batch["text"].shape[1:], -1,
+                                        batch["text"].dtype)]),
+            "lens": np.concatenate(
+                [batch["lens"], np.zeros((pad,), batch["lens"].dtype)]),
         }
         if batch.get("phoneme") is not None:
-            out["phoneme"] = _np.concatenate(
-                [batch["phoneme"], _np.zeros((pad,) + batch["phoneme"].shape[1:],
-                                             batch["phoneme"].dtype)])
+            out["phoneme"] = np.concatenate(
+                [batch["phoneme"], np.zeros((pad,) + batch["phoneme"].shape[1:],
+                                            batch["phoneme"].dtype)])
         return out
 
+    def set_steps_per_epoch(self, steps_per_epoch: int) -> None:
+        """Arm the epoch-based schedules (viterbi switch + cosine weight decay need
+        to know the epoch length, reference `alignment_utils.py:361-435`)."""
+        self._steps_per_epoch = steps_per_epoch
+        if self.alignment_manager is not None:
+            self.alignment_manager.set_steps_per_epoch(steps_per_epoch)
+
     def train_step(self, state: TrainState, batch: dict, rng: jax.Array):
-        """One update. ``batch`` = {'mel': [b,n,d], 'text': [b,nt], 'lens': [b]}
+        """One micro-batch. ``batch`` = {'mel': [b,n,d], 'text': [b,nt], 'lens': [b]}
         (+ optional 'phoneme' [b,np] ids when duration training is on) with static
-        bucketed shapes."""
+        bucketed shapes. With ``grad_accumulation_steps=k`` the optimizer applies
+        every k-th call; ``state.step`` counts applied updates only."""
         use_duration = (
             self.duration_predictor is not None and batch.get("phoneme") is not None
         )
@@ -273,15 +416,26 @@ class Trainer:
                     self._step_fn = self._build_step()
                 return self._step_fn(state, mel, text, lens, rng)
 
-            # duration curriculum: advance the host-side phase machine
-            step = int(state.step)
+            # duration curriculum: advance the host-side phase machine from the
+            # host step mirror — no per-step device sync (`int(state.step)` was a
+            # hidden round-trip at real scale).
+            step = self._host_step if self._host_step is not None else int(state.step)
             if self.alignment_manager.phase == 2 and self._phase2_start is None:
                 self._phase2_start = step
             algorithm, weight, transitioned = self.alignment_manager.update(
-                step, self.duration_focus_updates, self._phase2_start, None
+                step, self.duration_focus_updates, self._phase2_start,
+                self._current_epoch,
             )
             if transitioned:
                 self._phase2_start = step
+                if self._dur_weight_sched is not None:
+                    self._dur_weight_sched.phase = 2
+            if self._dur_weight_sched is not None:
+                cov, diag = self._last_quality
+                weight = self._dur_weight_sched.step(
+                    step, cov, diag, self._current_epoch or 0,
+                    max(self._steps_per_epoch or 1, 1),
+                )
             freeze_main = self.alignment_manager.phase == 1
             key = (algorithm, freeze_main)
             if key not in self._dur_step_fns:
@@ -304,61 +458,181 @@ class Trainer:
     def train(
         self,
         state: TrainState,
-        batches: Iterable[dict],
-        rng: jax.Array,
+        batches: Iterable[dict] | None = None,
+        rng: jax.Array | None = None,
+        *,
+        epoch_iter: Callable[[int], Iterable[dict]] | None = None,
+        epochs: int = 1,
+        start_epoch: int = 0,
+        skip_batches: int = 0,
         log_every: int = 100,
         save_per_updates: int = 50000,
         last_per_updates: int = 0,
         log_fn: Callable[[int, dict], None] | None = None,
         sample_fn: Callable[[TrainState, int], None] | None = None,
         tensorboard_dir: Optional[str] = None,
+        logger: Optional[str] = None,
     ) -> TrainState:
-        """Drive the loop. ``sample_fn(state, step)`` runs at every checkpoint save —
-        the reference synthesizes smoke-test wavs there (`trainer.py:1387-1419`);
-        ``tensorboard_dir`` enables scalar logging (`trainer.py:135-175`)."""
-        tb_writer = None
-        if tensorboard_dir:
+        """Drive the loop.
+
+        Two modes:
+        - ``batches``: a flat iterable (one pass, no mid-epoch resume) — kept for
+          tests and simple callers.
+        - ``epoch_iter(epoch) -> iterable``: the trainer owns the epoch loop;
+          ``start_epoch``/``skip_batches`` resume an interrupted run exactly where
+          it stopped (reference `trainer.py:1196-1206`). Per-batch RNG is
+          ``fold_in(fold_in(rng, epoch), batch_idx)`` so the loss trajectory of a
+          resumed run is bit-identical to the uninterrupted one.
+
+        ``sample_fn(state, step)`` runs at every checkpoint save — the reference
+        synthesizes smoke-test wavs there (`trainer.py:1387-1419`).
+        ``logger``: None | 'tensorboard' | 'wandb' (falls back loudly if wandb is
+        unavailable, instead of the silent ignore the reference YAML allowed).
+        """
+        assert rng is not None, "train() needs an rng"
+        tb_writer, wandb_run = self._open_loggers(logger, tensorboard_dir)
+        k = self.grad_accumulation_steps
+        self._host_step = int(state.step)
+
+        if epoch_iter is None:
+            assert batches is not None, "pass `batches` or `epoch_iter`"
+            epoch_plan = [(start_epoch, batches)]
+            final_epoch = start_epoch
+        else:
+            epoch_plan = ((e, epoch_iter(e)) for e in range(start_epoch, epochs))
+            final_epoch = epochs - 1
+
+        if self.use_adaptive_duration_weight and self.duration_predictor is not None \
+                and self._dur_weight_sched is None:
+            from eraxvif5tts_tpu.training.alignment import DurationWeightScheduler
+
+            m = self.alignment_manager
+            self._dur_weight_sched = DurationWeightScheduler(
+                total_epochs=max(epochs, 1),
+                initial_weight=m.initial_dur_weight, min_weight=m.target_dur_weight,
+            )
+            self._dur_weight_sched.phase = m.phase
+
+        for epoch, it in epoch_plan:
+            self._current_epoch = epoch
+            batch_idx = 0
+            if epoch == start_epoch and skip_batches:
+                it = itertools.islice(it, skip_batches, None)
+                batch_idx = skip_batches
+            for batch in it:
+                step_rng = jax.random.fold_in(jax.random.fold_in(rng, epoch), batch_idx)
+                state, metrics = self.train_step(state, batch, step_rng)
+                batch_idx += 1
+                # optimistic host mirror: updates apply every k-th micro-batch
+                # (re-synced below on log/save, where NaN skips surface).
+                if batch_idx % k == 0:
+                    self._host_step += 1
+                step = self._host_step
+                at_update = batch_idx % k == 0
+                if at_update and step % log_every == 0:
+                    scalars = {kk: float(v) for kk, v in metrics.items()}
+                    self._host_step = step = int(state.step)  # re-sync after NaN skips
+                    if "align_coverage" in scalars:
+                        self._last_quality = (
+                            scalars["align_coverage"], scalars["align_diagonal"]
+                        )
+                    if log_fn is not None:
+                        log_fn(step, scalars)
+                    if tb_writer is not None:
+                        for kk, v in scalars.items():
+                            tb_writer.add_scalar(kk, v, step)
+                    if wandb_run is not None:
+                        wandb_run.log(scalars, step=step)
+                if self.checkpoint_dir and at_update and save_per_updates \
+                        and step % save_per_updates == 0:
+                    self._host_step = int(state.step)
+                    self.save_checkpoint(state, meta=self._make_meta(epoch, batch_idx))
+                    if sample_fn is not None:
+                        sample_fn(state, self._host_step)
+                if self.checkpoint_dir and at_update and last_per_updates \
+                        and step % last_per_updates == 0:
+                    self.save_checkpoint(state, last=True,
+                                         meta=self._make_meta(epoch, batch_idx))
+            skip_batches = 0
+        self._current_epoch = final_epoch
+        if tb_writer is not None:
+            tb_writer.close()
+        if wandb_run is not None:
+            wandb_run.finish()
+        self._host_step = None
+        return state
+
+    def _open_loggers(self, logger, tensorboard_dir):
+        tb_writer = wandb_run = None
+        if logger == "wandb":
+            try:
+                import wandb
+
+                wandb_run = wandb.init(project="eraxvif5tts-tpu", resume="allow")
+            except Exception as e:  # noqa: BLE001 — any wandb failure falls back
+                print(f"[trainer] logger='wandb' unavailable ({e}); "
+                      "falling back to tensorboard")
+                logger = "tensorboard"
+        if tensorboard_dir or logger == "tensorboard":
             try:
                 from torch.utils.tensorboard import SummaryWriter
 
-                tb_writer = SummaryWriter(tensorboard_dir)
+                tb_writer = SummaryWriter(tensorboard_dir or "runs")
             except ImportError:
-                pass
-        for batch in batches:
-            rng, step_rng = jax.random.split(rng)
-            state, metrics = self.train_step(state, batch, step_rng)
-            step = int(state.step)
-            if step % log_every == 0:
-                scalars = {k: float(v) for k, v in metrics.items()}
-                if log_fn is not None:
-                    log_fn(step, scalars)
-                if tb_writer is not None:
-                    for k, v in scalars.items():
-                        tb_writer.add_scalar(k, v, step)
-            if self.checkpoint_dir and save_per_updates and step % save_per_updates == 0:
-                self.save_checkpoint(state)
-                if sample_fn is not None:
-                    sample_fn(state, step)
-            if self.checkpoint_dir and last_per_updates and step % last_per_updates == 0:
-                self.save_checkpoint(state, last=True)
-        if tb_writer is not None:
-            tb_writer.close()
-        return state
+                if logger == "tensorboard":
+                    print("[trainer] tensorboard unavailable; scalar logging off")
+        return tb_writer, wandb_run
+
+    def _make_meta(self, epoch: int, batch_in_epoch: int) -> dict:
+        meta = {"epoch": epoch, "batch_in_epoch": batch_in_epoch,
+                "grad_accumulation_steps": self.grad_accumulation_steps}
+        if self.alignment_manager is not None:
+            meta["alignment"] = {
+                "phase": self.alignment_manager.phase,
+                "method": self.alignment_manager.current_method,
+                "phase2_start": self._phase2_start,
+            }
+        if self._dur_weight_sched is not None:
+            s = self._dur_weight_sched
+            meta["dur_weight"] = {"ema_cov": s.ema_cov, "ema_diag": s.ema_diag,
+                                  "prev_weight": s.prev_weight, "phase": s.phase}
+        return meta
+
+    def restore_meta(self, meta: dict) -> tuple[int, int]:
+        """Re-arm curriculum state machines from a checkpoint's sidecar; returns
+        (start_epoch, skip_batches) for ``train``."""
+        align = meta.get("alignment")
+        if align and self.alignment_manager is not None:
+            self.alignment_manager.phase = align["phase"]
+            self.alignment_manager.current_method = align["method"]
+            self._phase2_start = align["phase2_start"]
+        dw = meta.get("dur_weight")
+        if dw and self._dur_weight_sched is not None:
+            self._dur_weight_sched.ema_cov = dw["ema_cov"]
+            self._dur_weight_sched.ema_diag = dw["ema_diag"]
+            self._dur_weight_sched.prev_weight = dw["prev_weight"]
+            self._dur_weight_sched.phase = dw["phase"]
+        return meta.get("epoch", 0), meta.get("batch_in_epoch", 0)
 
     # ------------------------------------------------------------------
     # Checkpointing (Orbax)
 
-    def save_checkpoint(self, state: TrainState, last: bool = False) -> str:
+    def save_checkpoint(self, state: TrainState, last: bool = False,
+                        meta: dict | None = None) -> str:
         assert self.checkpoint_dir is not None
         import orbax.checkpoint as ocp
 
         os.makedirs(self.checkpoint_dir, exist_ok=True)
         step = int(state.step)
+        self._host_step = step
         name = "model_last" if last else f"model_{step}"
         path = os.path.abspath(os.path.join(self.checkpoint_dir, name))
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, jax.device_get(state), force=True)
         ckptr.wait_until_finished()
+        if meta is not None:
+            with open(path + ".meta.json", "w", encoding="utf-8") as f:
+                json.dump(meta, f)
         self._rotate_checkpoints()
         return path
 
@@ -369,7 +643,7 @@ class Trainer:
             return
         entries = []
         for d in os.listdir(self.checkpoint_dir):
-            if d.startswith("model_") and d != "model_last":
+            if d.startswith("model_") and d != "model_last" and not d.endswith(".meta.json"):
                 try:
                     entries.append((int(d.split("_")[1]), d))
                 except ValueError:
@@ -379,18 +653,39 @@ class Trainer:
 
         for _, d in entries[: max(len(entries) - n, 0)]:
             shutil.rmtree(os.path.join(self.checkpoint_dir, d), ignore_errors=True)
+            meta = os.path.join(self.checkpoint_dir, d + ".meta.json")
+            if os.path.isfile(meta):
+                os.remove(meta)
 
     def load_checkpoint(self, path: str, template: TrainState) -> TrainState:
+        """Restore a full TrainState (params/EMA/optimizer/step AND the
+        duration-predictor trio when enabled — dropping them silently broke
+        curriculum resume). Also reads the ``.meta.json`` sidecar into
+        ``self.resume_meta`` for ``restore_meta``."""
         import orbax.checkpoint as ocp
 
+        path = os.path.abspath(path)
         ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(os.path.abspath(path), target=jax.device_get(template))
-        params = shard_params(self.mesh, restored.params)
-        ema = shard_params(self.mesh, restored.ema_params)
-        opt = jax.device_put(restored.opt_state, replicated(self.mesh))
+        restored = ckptr.restore(path, target=jax.device_get(template))
+        meta_path = path + ".meta.json"
+        self.resume_meta = None
+        if os.path.isfile(meta_path):
+            with open(meta_path, "r", encoding="utf-8") as f:
+                self.resume_meta = json.load(f)
+        rep = replicated(self.mesh)
+        kwargs = {}
+        if template.dur_pred_params is not None:
+            kwargs = {
+                "dur_pred_params": jax.device_put(restored.dur_pred_params, rep),
+                "dur_align_params": jax.device_put(restored.dur_align_params, rep),
+                "dur_opt_state": jax.device_put(restored.dur_opt_state, rep),
+            }
         return TrainState(
-            step=jnp.asarray(restored.step), params=params,
-            opt_state=opt, ema_params=ema,
+            step=jnp.asarray(restored.step),
+            params=shard_params(self.mesh, restored.params),
+            opt_state=jax.device_put(restored.opt_state, rep),
+            ema_params=shard_params(self.mesh, restored.ema_params),
+            **kwargs,
         )
 
 
