@@ -55,14 +55,23 @@ def eval_sim_dir(gen_wav_dir: str, metainfo, embed_fn,
     return summary
 
 
-def default_speaker_embed_fn():
-    """WavLM-large ECAPA-TDNN embedder (requires the UniSpeech checkpoint; reference
-    `eval/ecapa_tdnn.py` + `utils_eval.py:379-418`). Raises if torch weights are
-    unavailable — callers should pass their own ``embed_fn`` offline."""
-    raise NotImplementedError(
-        "speaker embedder weights not bundled; pass embed_fn=... "
-        "(any callable wav_path -> np.ndarray embedding)"
-    )
+def default_speaker_embed_fn(ckpt_path: str | None = None):
+    """ECAPA-TDNN speaker embedder (reference `eval/ecapa_tdnn.py` +
+    `utils_eval.py:379-418`).
+
+    ``ckpt_path`` (or the ``ECAPA_CKPT`` environment variable) points at the
+    UniSpeech WavLM-ECAPA checkpoint; its weights are imported into the native JAX
+    head and scored over log-fbank features. Without a checkpoint this raises —
+    random weights would produce meaningless SIM numbers silently."""
+    from eraxvif5tts_tpu.eval.ecapa_tdnn import make_mel_embed_fn
+
+    ckpt_path = ckpt_path or os.environ.get("ECAPA_CKPT")
+    if not ckpt_path:
+        raise FileNotFoundError(
+            "no speaker-embedder checkpoint: pass ckpt_path=..., set ECAPA_CKPT, "
+            "or pass your own embed_fn (any callable wav_path -> np.ndarray)"
+        )
+    return make_mel_embed_fn(ckpt_path=ckpt_path)
 
 
 def eval_utmos_dir(gen_wav_dir: str, out_jsonl: str | None = None,

@@ -138,7 +138,8 @@ class DiT(nn.Module):
         self.input_embed = InputEmbedding(a.dim, dtype=self.compute_dtype, name="input_embed")
         # Rematerialization trades FLOPs for HBM on the backward pass
         # (reference `dit.py:221-223` uses torch activation checkpointing).
-        block_cls = nn.remat(DiTBlock, static_argnums=(4,)) if a.checkpoint_activations else DiTBlock
+        # static arg 5 = `deterministic` (0 is self); rope (4) is a traced constant
+        block_cls = nn.remat(DiTBlock, static_argnums=(5,)) if a.checkpoint_activations else DiTBlock
         self.blocks = [
             block_cls(
                 dim=a.dim,

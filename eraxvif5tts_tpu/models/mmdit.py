@@ -23,7 +23,10 @@ from eraxvif5tts_tpu.models.modules import (
     RMSNorm,
     TimestepEmbedding,
 )
-from eraxvif5tts_tpu.ops.attention import dot_product_attention
+from eraxvif5tts_tpu.ops.attention import (
+    chunked_dot_product_attention,
+    dot_product_attention,
+)
 from eraxvif5tts_tpu.ops.rotary import abs_pos_embedding_table, apply_rotary, rotary_freqs
 
 TEXT_MAX_POS = 1024  # reference `mmdit.py:37`
@@ -123,7 +126,14 @@ class JointAttention(nn.Module):
         if mask is not None:
             key_valid = jnp.pad(mask, ((0, 0), (0, nt)), constant_values=True)
 
-        out = dot_product_attention(q, k, v, key_valid=key_valid)
+        if self.dropout > 0.0 and not deterministic:
+            # attention-weight dropout on the train path (`modules.py:582`)
+            out = chunked_dot_product_attention(
+                q, k, v, key_valid=key_valid, dropout_rate=self.dropout,
+                dropout_rng=self.make_rng("dropout"),
+            )
+        else:
+            out = dot_product_attention(q, k, v, key_valid=key_valid)
         out = out.reshape(b, n + nt, inner)
         x_out, c_out = out[:, :n], out[:, n:]
 

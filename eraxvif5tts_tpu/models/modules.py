@@ -19,7 +19,10 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from eraxvif5tts_tpu.ops.attention import dot_product_attention
+from eraxvif5tts_tpu.ops.attention import (
+    chunked_dot_product_attention,
+    dot_product_attention,
+)
 from eraxvif5tts_tpu.ops.rotary import apply_rotary
 
 
@@ -297,16 +300,13 @@ class Attention(nn.Module):
                 k = apply_rotary(k.swapaxes(1, 2), rope).swapaxes(1, 2)
 
         if self.dropout > 0.0 and not deterministic:
-            # Train path: explicit softmax so attention-weight dropout matches
-            # SDPA(dropout_p=0.1) (`modules.py:490`).
-            scale = 1.0 / jnp.sqrt(jnp.asarray(self.dim_head, jnp.float32))
-            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
-            if mask is not None:
-                neg = jnp.asarray(jnp.finfo(jnp.float32).min, logits.dtype)
-                logits = jnp.where(mask[:, None, None, :], logits, neg)
-            weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(x.dtype)
-            weights = nn.Dropout(self.dropout)(weights, deterministic=False)
-            out = jnp.einsum("bhqk,bkhd->bqhd", weights, v)
+            # Train path: chunked online-softmax attention with in-kernel
+            # attention-weight dropout, matching SDPA(dropout_p=0.1)
+            # (`modules.py:490`) without materializing the [b,h,n,n] weights.
+            out = chunked_dot_product_attention(
+                q, k, v, key_valid=mask, dropout_rate=self.dropout,
+                dropout_rng=self.make_rng("dropout"),
+            )
         else:
             out = dot_product_attention(q, k, v, key_valid=mask)
 

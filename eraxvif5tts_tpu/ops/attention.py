@@ -14,6 +14,7 @@ after the output projection, matching `modules.py:499-501`.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +98,121 @@ def dot_product_attention(
     return jax.nn.dot_product_attention(
         q, k, v, mask=mask, implementation=None if implementation == "xla" else implementation
     )
+
+
+def _train_chunk(n: int, cap: int) -> int:
+    if n <= cap:
+        return n
+    for block in (cap, 256, 128):
+        if n % block == 0:
+            return block
+    return 0  # not chunkable
+
+
+def chunked_dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_valid: jnp.ndarray | None = None,
+    dropout_rate: float = 0.0,
+    dropout_rng: jax.Array | None = None,
+    query_chunk_size: int = 512,
+    key_chunk_size: int = 1024,
+) -> jnp.ndarray:
+    """Online-softmax (flash-style) attention with in-kernel attention-weight
+    dropout, for the TRAINING path.
+
+    The reference trains with ``F.scaled_dot_product_attention(..., dropout_p=0.1)``
+    (reference `modules.py:490,582`), whose memory-efficient CUDA kernel never
+    materializes the ``[b, h, n, n]`` weights. The earlier JAX train path did — 1
+    GiB/sample/layer at 4096 frames x 16 heads in fp32 — so the 38,400-frame batch
+    budget could not train on one chip. This kernel scans k-chunks with running
+    (max, sum, acc) statistics and scans q-chunks under ``jax.checkpoint`` so the
+    backward pass recomputes chunks instead of saving them: peak extra memory is
+    O(qc x kc) per head, independent of n².
+
+    Dropout semantics match SDPA: the *normalizer* uses the undropped weights, the
+    value accumulation uses dropped-and-rescaled weights (out = dropout(softmax(s))v).
+    The Bernoulli stream is deterministic per (rng, q-chunk, k-chunk).
+    """
+    b, n, h, d = q.shape
+    qc = _train_chunk(n, query_chunk_size)
+    kc = _train_chunk(n, key_chunk_size)
+    if qc == 0 or kc == 0:  # non-chunkable length: dense fallback
+        return _dense_dropout_attention(q, k, v, key_valid, dropout_rate, dropout_rng)
+
+    scale = 1.0 / math.sqrt(d)
+    neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+    nq, nk = n // qc, n // kc
+    keep = 1.0 - dropout_rate
+
+    # chunk-major layouts for scan
+    qr = jnp.moveaxis(q.reshape(b, nq, qc, h, d), 1, 0)  # [nq, b, qc, h, d]
+    kr = jnp.moveaxis(k.reshape(b, nk, kc, h, d), 1, 0)
+    vr = jnp.moveaxis(v.reshape(b, nk, kc, h, d), 1, 0)
+    valid = None
+    if key_valid is not None:
+        valid = jnp.moveaxis(key_valid.reshape(b, nk, kc), 1, 0)  # [nk, b, kc]
+
+    def q_block(q_blk, qi):
+        # q_blk: [b, qc, h, d]
+        def kv_step(carry, x):
+            m, l, acc = carry  # [b,h,qc], [b,h,qc], [b,h,qc,d]
+            k_blk, v_blk, valid_blk, ki = x
+            s = jnp.einsum("bqhd,bkhd->bhqk", q_blk, k_blk).astype(jnp.float32) * scale
+            if valid_blk is not None:
+                s = jnp.where(valid_blk[:, None, None, :], s, neg)
+            m_new = jnp.maximum(m, s.max(axis=-1))
+            p = jnp.exp(s - m_new[..., None])
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + p.sum(axis=-1)
+            if dropout_rate > 0.0:
+                key = jax.random.fold_in(jax.random.fold_in(dropout_rng, qi), ki)
+                mask = jax.random.bernoulli(key, keep, p.shape)
+                p_v = jnp.where(mask, p / keep, 0.0)
+            else:
+                p_v = p
+            acc_new = acc * corr[..., None] + jnp.einsum(
+                "bhqk,bkhd->bhqd", p_v.astype(v_blk.dtype), v_blk
+            ).astype(jnp.float32)
+            return (m_new, l_new, acc_new), None
+
+        init = (
+            jnp.full((b, h, qc), -jnp.inf, jnp.float32),
+            jnp.zeros((b, h, qc), jnp.float32),
+            jnp.zeros((b, h, qc, d), jnp.float32),
+        )
+        xs = (kr, vr, valid, jnp.arange(nk)) if valid is not None else (
+            kr, vr, None, jnp.arange(nk)
+        )
+        if valid is None:
+            (m, l, acc), _ = jax.lax.scan(
+                lambda c, x: kv_step(c, (x[0], x[1], None, x[2])),
+                init, (kr, vr, jnp.arange(nk)),
+            )
+        else:
+            (m, l, acc), _ = jax.lax.scan(kv_step, init, xs)
+        out = acc / jnp.maximum(l, 1e-30)[..., None]  # [b, h, qc, d]
+        return out.swapaxes(1, 2).astype(q.dtype)  # [b, qc, h, d]
+
+    blocks = jax.lax.map(
+        lambda x: jax.checkpoint(q_block)(x[0], x[1]), (qr, jnp.arange(nq))
+    )  # [nq, b, qc, h, d]
+    return jnp.moveaxis(blocks, 0, 1).reshape(b, n, h, d)
+
+
+def _dense_dropout_attention(q, k, v, key_valid, dropout_rate, dropout_rng):
+    """Materialized-softmax fallback for non-chunkable (tiny/ragged) lengths."""
+    out_w = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+    out_w = out_w / math.sqrt(q.shape[-1])
+    if key_valid is not None:
+        neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
+        out_w = jnp.where(key_valid[:, None, None, :], out_w, neg)
+    weights = jax.nn.softmax(out_w, axis=-1)
+    if dropout_rate > 0.0:
+        mask = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, weights.shape)
+        weights = jnp.where(mask, weights / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)
 
 
 def attention_reference(

@@ -57,6 +57,11 @@ class ServerConfig:
     cfg_strength: float = 2.0
     speed: float = 1.0
     sway_sampling_coef: float = -1.0
+    # hardening (the reference FastAPI server has none of these):
+    max_body_bytes: int = 50 * 1024 * 1024  # uploads; oversize -> 413, no buffering
+    request_read_timeout: float = 30.0  # seconds to receive head+body
+    generation_timeout: float = 300.0  # per text-chunk synthesis budget
+    max_concurrent_generations: int = 4  # device-work admission control
 
 
 class TTSServer:
@@ -65,6 +70,9 @@ class TTSServer:
         self.config = config or ServerConfig()
         self.references: dict[str, ReferenceState | str] = {}  # id -> state|"processing"
         self._lock = asyncio.Lock()
+        self._gen_semaphore = asyncio.Semaphore(
+            max(self.config.max_concurrent_generations, 1)
+        )
 
     # ------------------------------------------------------------------
 
@@ -88,7 +96,17 @@ class TTSServer:
 
     async def _handle(self, reader: asyncio.StreamReader, writer: asyncio.StreamWriter):
         try:
-            request = await _read_request(reader)
+            try:
+                request = await asyncio.wait_for(
+                    _read_request(reader, max_body=self.config.max_body_bytes),
+                    timeout=self.config.request_read_timeout,
+                )
+            except asyncio.TimeoutError:
+                await _respond_json(writer, 408, {"detail": "request read timeout"})
+                return
+            except _BodyTooLarge as e:
+                await _respond_json(writer, 413, {"detail": str(e)})
+                return
             if request is None:
                 return
             method, path, headers, body = request
@@ -181,19 +199,27 @@ class TTSServer:
         pieces = chunk_text(normalized, max_chars=self.config.text_chunk_size)
         for piece in pieces:
             try:
-                wave = await asyncio.to_thread(
-                    self.wrapper.generate,
-                    piece,
-                    ref=ref,
-                    nfe_step=int(req.get("nfe_step", self.config.nfe_step)),
-                    cfg_strength=float(req.get("cfg_strength", self.config.cfg_strength)),
-                    speed=float(req.get("speed", self.config.speed)),
-                    sway_sampling_coef=float(
-                        req.get("sway_sampling_coef", self.config.sway_sampling_coef)
-                    ),
-                    seed=req.get("seed"),
-                    return_numpy=True,
-                )
+                # admission control: at most max_concurrent_generations device
+                # jobs in flight; each chunk has a hard wall-clock budget.
+                async with self._gen_semaphore:
+                    wave = await asyncio.wait_for(
+                        asyncio.to_thread(
+                            self.wrapper.generate,
+                            piece,
+                            ref=ref,
+                            nfe_step=int(req.get("nfe_step", self.config.nfe_step)),
+                            cfg_strength=float(
+                                req.get("cfg_strength", self.config.cfg_strength)),
+                            speed=float(req.get("speed", self.config.speed)),
+                            sway_sampling_coef=float(
+                                req.get("sway_sampling_coef",
+                                        self.config.sway_sampling_coef)
+                            ),
+                            seed=req.get("seed"),
+                            return_numpy=True,
+                        ),
+                        timeout=self.config.generation_timeout,
+                    )
                 await _write_chunk(writer, float_to_int16_bytes(wave))
             except Exception:
                 # one bad chunk must not kill the stream (`:251-254`)
@@ -247,7 +273,11 @@ class TTSServer:
 # tiny HTTP/1.1 + multipart plumbing
 
 
-async def _read_request(reader):
+class _BodyTooLarge(Exception):
+    pass
+
+
+async def _read_request(reader, max_body: int = 50 * 1024 * 1024):
     try:
         head = await reader.readuntil(b"\r\n\r\n")
     except (asyncio.IncompleteReadError, asyncio.LimitOverrunError):
@@ -260,7 +290,14 @@ async def _read_request(reader):
             k, v = line.split(":", 1)
             headers[k.strip().lower()] = v.strip()
     body = b""
-    n = int(headers.get("content-length", 0))
+    try:
+        n = int(headers.get("content-length", 0))
+    except ValueError:
+        n = 0
+    if n > max_body:
+        # reject before buffering anything — a single request could otherwise
+        # OOM the host
+        raise _BodyTooLarge(f"body {n} bytes exceeds limit {max_body}")
     if n:
         body = await reader.readexactly(n)
     return method, path, headers, body
@@ -270,7 +307,8 @@ async def _respond(writer, status: int, body, content_type="application/json"):
     if isinstance(body, str):
         body = body.encode("utf-8")
     reason = {200: "OK", 202: "Accepted", 400: "Bad Request", 404: "Not Found",
-              409: "Conflict", 500: "Internal Server Error"}.get(status, "OK")
+              408: "Request Timeout", 409: "Conflict", 413: "Payload Too Large",
+              500: "Internal Server Error"}.get(status, "OK")
     writer.write(
         f"HTTP/1.1 {status} {reason}\r\ncontent-type: {content_type}\r\n"
         f"content-length: {len(body)}\r\nconnection: close\r\n\r\n".encode()

@@ -114,14 +114,24 @@ def duration_loss_from_attn(dur_predictor, dur_params, text: jnp.ndarray,
     tmask = (jnp.arange(nt)[None, :] < text_lens[:, None]).astype(jnp.float32)
     w = attn.sum(axis=2)
     logw_target = jnp.log(w + 1e-6) * tmask
-    logw = dur_predictor.apply({"params": dur_params}, text, tmask > 0)
+    # -1-padded text ids -> 0 filler (the reference predictor shifts internally,
+    # `duration_predictor.py:29`)
+    ids = jnp.maximum(text + 1, 0)
+    logw = dur_predictor.apply({"params": dur_params}, ids, tmask > 0)
     per_sample = jnp.sum(jnp.square(logw - logw_target), axis=1) / jnp.maximum(tmask.sum(), 1)
     return jnp.sum(per_sample)
 
 
 @dataclass
 class DistillTrainer:
-    """Jit-compiled distillation step with in-graph frozen teacher."""
+    """Jit-compiled distillation step with in-graph frozen teacher.
+
+    Production pieces matching reference `distil_reload.py`: checkpoint
+    save/rotate/resume with a meta sidecar carrying the epoch/batch cursor
+    (`:437-628, 908-921`), optional duration loss from a precomputed alignment
+    (`:1103-1124`) trained through a separate 3x-LR AdamW group (`:846-861`),
+    and EMA export to the reference torch layout so the distilled student loads
+    straight into ``F5TTSWrapper``."""
 
     student_cfm: CFM
     teacher_transformer: Any
@@ -130,18 +140,61 @@ class DistillTrainer:
     ema_decay: float = 0.9999
     ema_update_every: int = 10
     ema_update_after_step: int = 100
+    checkpoint_dir: str | None = None
+    keep_last_n_checkpoints: int = -1
+    duration_predictor: Any = None
+    duration_lr: float = 3e-5  # reference gives the dur-pred group 3x the base LR
 
     def __post_init__(self):
         self._step = None
+        self._dur_step = None
+        self.resume_meta: dict | None = None
+        if self.duration_predictor is not None:
+            self._dur_optimizer = optax.adamw(
+                self.duration_lr, b1=0.9, b2=0.98, weight_decay=3e-4
+            )
 
-    def init_state(self, rng: jax.Array) -> TrainState:
-        params = self.student_cfm.init_params(rng)
+    def init_state(self, rng: jax.Array, params: Any | None = None,
+                   dur_pred_params: Any | None = None) -> TrainState:
+        params = params if params is not None else self.student_cfm.init_params(rng)
+        dur_params = dur_opt = None
+        if self.duration_predictor is not None:
+            if dur_pred_params is None:
+                ids = jnp.zeros((1, 8), jnp.int32)
+                dur_pred_params = jax.jit(self.duration_predictor.init)(
+                    jax.random.fold_in(rng, 1), ids, ids > 0
+                )["params"]
+            dur_params = dur_pred_params
+            dur_opt = jax.jit(self._dur_optimizer.init)(dur_params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=jax.jit(self.optimizer.init)(params),
             ema_params=jax.tree.map(jnp.copy, params),
+            dur_pred_params=dur_params,
+            dur_opt_state=dur_opt,
         )
+
+    def _finish_step(self, state, ok, new_params, new_opt, metrics, extra=None):
+        new_params = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old), new_params, state.params
+        )
+        new_opt = jax.tree.map(
+            lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape") else new,
+            new_opt, state.opt_state,
+        )
+        step = state.step + jnp.where(ok, 1, 0)
+
+        def ema_update(ema, p):
+            decayed = ema * self.ema_decay + p * (1.0 - self.ema_decay)
+            take_copy = step <= self.ema_update_after_step
+            do = (step % self.ema_update_every == 0) | take_copy
+            return jnp.where(do, jnp.where(take_copy, p, decayed), ema)
+
+        new_ema = jax.tree.map(ema_update, state.ema_params, new_params)
+        metrics["skipped"] = ~ok
+        return state.replace(step=step, params=new_params, opt_state=new_opt,
+                             ema_params=new_ema, **(extra or {})), metrics
 
     def _build(self):
         cfg = self.config
@@ -160,31 +213,105 @@ class DistillTrainer:
             ok = jnp.isfinite(loss)
             updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
             new_params = optax.apply_updates(state.params, updates)
-            new_params = jax.tree.map(
-                lambda new, old: jnp.where(ok, new, old), new_params, state.params
-            )
-            new_opt = jax.tree.map(
-                lambda new, old: jnp.where(ok, new, old) if hasattr(new, "shape") else new,
-                new_opt, state.opt_state,
-            )
-            step = state.step + jnp.where(ok, 1, 0)
+            return self._finish_step(state, ok, new_params, new_opt, metrics)
 
-            def ema_update(ema, p):
-                decayed = ema * self.ema_decay + p * (1.0 - self.ema_decay)
-                take_copy = step <= self.ema_update_after_step
-                do = (step % self.ema_update_every == 0) | take_copy
-                return jnp.where(do, jnp.where(take_copy, p, decayed), ema)
+        return jax.jit(step_fn, donate_argnums=(0,))
 
-            new_ema = jax.tree.map(ema_update, state.ema_params, new_params)
-            metrics["skipped"] = ~ok
-            return TrainState(step=step, params=new_params, opt_state=new_opt,
-                              ema_params=new_ema), metrics
+    def _build_dur(self):
+        """Variant with the duration loss from ``batch['attn']``
+        (`distil_reload.py:1103-1124`)."""
+        cfg = self.config
+        optimizer = self.optimizer
+        dur_optimizer = self._dur_optimizer
+        dur_predictor = self.duration_predictor
+
+        def step_fn(state: TrainState, teacher_params, mel, text, lens, attn, rng):
+            def loss_fn(params, dur_params):
+                total, metrics = distillation_losses(
+                    self.student_cfm, params, self.teacher_transformer, teacher_params,
+                    mel, text, lens, rng, cfg,
+                )
+                text_lens = jnp.sum(text != -1, axis=-1)
+                d_loss = duration_loss_from_attn(
+                    dur_predictor, dur_params, text, text_lens, attn
+                )
+                total = total + cfg.duration_loss_weight * d_loss
+                metrics["duration_loss"] = d_loss
+                metrics["loss"] = total
+                return total, metrics
+
+            (loss, metrics), (grads, dur_grads) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True
+            )(state.params, state.dur_pred_params)
+            ok = jnp.isfinite(loss)
+            updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            d_updates, new_dur_opt = dur_optimizer.update(
+                dur_grads, state.dur_opt_state, state.dur_pred_params
+            )
+            new_dur = optax.apply_updates(state.dur_pred_params, d_updates)
+            new_dur = jax.tree.map(lambda a, b: jnp.where(ok, a, b),
+                                   new_dur, state.dur_pred_params)
+            new_dur_opt = jax.tree.map(lambda a, b: jnp.where(ok, a, b),
+                                       new_dur_opt, state.dur_opt_state)
+            return self._finish_step(
+                state, ok, new_params, new_opt, metrics,
+                extra={"dur_pred_params": new_dur, "dur_opt_state": new_dur_opt},
+            )
 
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def train_step(self, state: TrainState, teacher_params, batch: dict, rng: jax.Array):
+        if self.duration_predictor is not None and batch.get("attn") is not None:
+            if self._dur_step is None:
+                self._dur_step = self._build_dur()
+            return self._dur_step(state, teacher_params,
+                                  jnp.asarray(batch["mel"]), jnp.asarray(batch["text"]),
+                                  jnp.asarray(batch["lens"]), jnp.asarray(batch["attn"]),
+                                  rng)
         if self._step is None:
             self._step = self._build()
         return self._step(state, teacher_params,
                           jnp.asarray(batch["mel"]), jnp.asarray(batch["text"]),
                           jnp.asarray(batch["lens"]), rng)
+
+    # ------------------------------------------------------------------
+    # checkpointing (shared primitives with the main Trainer)
+
+    def save_checkpoint(self, state: TrainState, last: bool = False,
+                        meta: dict | None = None) -> str:
+        from eraxvif5tts_tpu.training.trainer import checkpoint_save
+
+        assert self.checkpoint_dir is not None
+        return checkpoint_save(self.checkpoint_dir, state, int(state.step), last=last,
+                               meta=meta, keep_last_n=self.keep_last_n_checkpoints)
+
+    def load_checkpoint(self, path: str, template: TrainState) -> TrainState:
+        from eraxvif5tts_tpu.training.trainer import checkpoint_restore
+
+        restored, self.resume_meta = checkpoint_restore(path, template)
+        kwargs = {}
+        if template.dur_pred_params is not None:
+            kwargs = {"dur_pred_params": jax.device_put(restored.dur_pred_params),
+                      "dur_opt_state": jax.device_put(restored.dur_opt_state)}
+        return TrainState(
+            step=jnp.asarray(restored.step),
+            params=jax.device_put(restored.params),
+            opt_state=jax.device_put(restored.opt_state),
+            ema_params=jax.device_put(restored.ema_params),
+            **kwargs,
+        )
+
+    def export_student_torch(self, state: TrainState, path: str, depth: int,
+                             conv_layers: int = 4, use_ema: bool = True) -> str:
+        """EMA (or raw) student -> reference torch key layout
+        (``transformer.transformer_blocks.N.*``) so the distilled model round-trips
+        into ``F5TTSWrapper`` / the reference ecosystem."""
+        from eraxvif5tts_tpu.compression.convert import dit_params_to_torch
+        from eraxvif5tts_tpu.compression.pruner import save_state_dict
+
+        params = state.ema_params if use_ema else state.params
+        sd = dit_params_to_torch(jax.device_get(params), depth=depth,
+                                 conv_layers=conv_layers)
+        save_state_dict(sd, path)
+        return path

@@ -67,20 +67,108 @@ def make_optimizer(
     max_grad_norm: float = 1.0,
     b1: float = 0.9,
     b2: float = 0.98,
+    decay_type: str = "linear",
 ) -> optax.GradientTransformation:
-    """Warmup -> linear decay AdamW, global-norm clipped (reference semantics)."""
+    """Warmup -> decay AdamW, global-norm clipped.
+
+    ``decay_type='linear'`` is the main trainer's SequentialLR(warmup, linear)
+    (reference `trainer.py:1184-1188`); ``'cosine'`` is the distillation recipe's
+    CosineAnnealingLR with eta_min ~ 0 (reference `distil_reload.py:892-897`).
+    """
     decay_steps = max(total_updates - num_warmup_updates, 1)
+    if decay_type == "linear":
+        decay = optax.linear_schedule(learning_rate, 0.0, decay_steps)
+    elif decay_type == "cosine":
+        decay = optax.cosine_decay_schedule(learning_rate, decay_steps, alpha=1e-8)
+    else:
+        raise ValueError(f"decay_type must be 'linear' or 'cosine', got {decay_type!r}")
     schedule = optax.join_schedules(
-        [
-            optax.linear_schedule(0.0, learning_rate, max(num_warmup_updates, 1)),
-            optax.linear_schedule(learning_rate, 0.0, decay_steps),
-        ],
+        [optax.linear_schedule(0.0, learning_rate, max(num_warmup_updates, 1)), decay],
         boundaries=[num_warmup_updates],
     )
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.adamw(schedule, b1=b1, b2=b2),
     )
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint primitives shared by Trainer and DistillTrainer (Orbax + .meta.json
+# sidecar + keep_last_n rotation, reference `trainer.py:521-827`,
+# `distil_reload.py:437-628`)
+
+
+def checkpoint_save(checkpoint_dir: str, state: Any, step: int, last: bool = False,
+                    meta: dict | None = None, keep_last_n: int = -1) -> str:
+    import orbax.checkpoint as ocp
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    name = "model_last" if last else f"model_{step}"
+    path = os.path.abspath(os.path.join(checkpoint_dir, name))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    ckptr.wait_until_finished()
+    if meta is not None:
+        with open(path + ".meta.json", "w", encoding="utf-8") as f:
+            json.dump(meta, f)
+    checkpoint_rotate(checkpoint_dir, keep_last_n)
+    return path
+
+
+def checkpoint_rotate(checkpoint_dir: str, keep_last_n: int) -> None:
+    """keep_last_n rotation (`trainer.py:560-597`); model_last is exempt."""
+    if keep_last_n is None or keep_last_n < 0 or not checkpoint_dir:
+        return
+    entries = []
+    for d in os.listdir(checkpoint_dir):
+        if d.startswith("model_") and d != "model_last" and not d.endswith(".meta.json"):
+            try:
+                entries.append((int(d.split("_")[1]), d))
+            except ValueError:
+                continue
+    entries.sort()
+    import shutil
+
+    for _, d in entries[: max(len(entries) - keep_last_n, 0)]:
+        shutil.rmtree(os.path.join(checkpoint_dir, d), ignore_errors=True)
+        meta = os.path.join(checkpoint_dir, d + ".meta.json")
+        if os.path.isfile(meta):
+            os.remove(meta)
+
+
+def checkpoint_restore(path: str, template: Any) -> tuple[Any, Optional[dict]]:
+    """Returns (restored host-side state, meta dict or None)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, target=jax.device_get(template))
+    meta = None
+    meta_path = path + ".meta.json"
+    if os.path.isfile(meta_path):
+        with open(meta_path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+    return restored, meta
+
+
+def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
+    """Newest ``model_*`` in a directory, preferring ``model_last``
+    (reference `trainer.py:600-640` discovery)."""
+    if not checkpoint_dir or not os.path.isdir(checkpoint_dir):
+        return None
+    last = os.path.join(checkpoint_dir, "model_last")
+    if os.path.isdir(last):
+        return last
+    steps = []
+    for d in os.listdir(checkpoint_dir):
+        if d.startswith("model_") and not d.endswith(".meta.json"):
+            try:
+                steps.append((int(d.split("_")[1]), d))
+            except ValueError:
+                continue
+    if not steps:
+        return None
+    return os.path.join(checkpoint_dir, max(steps)[1])
 
 
 def _select_tree(pred, on_true, on_false):
@@ -620,58 +708,17 @@ class Trainer:
     def save_checkpoint(self, state: TrainState, last: bool = False,
                         meta: dict | None = None) -> str:
         assert self.checkpoint_dir is not None
-        import orbax.checkpoint as ocp
-
-        os.makedirs(self.checkpoint_dir, exist_ok=True)
         step = int(state.step)
         self._host_step = step
-        name = "model_last" if last else f"model_{step}"
-        path = os.path.abspath(os.path.join(self.checkpoint_dir, name))
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path, jax.device_get(state), force=True)
-        ckptr.wait_until_finished()
-        if meta is not None:
-            with open(path + ".meta.json", "w", encoding="utf-8") as f:
-                json.dump(meta, f)
-        self._rotate_checkpoints()
-        return path
-
-    def _rotate_checkpoints(self):
-        """keep_last_n rotation (`trainer.py:560-597`); model_last is exempt."""
-        n = self.keep_last_n_checkpoints
-        if n is None or n < 0 or not self.checkpoint_dir:
-            return
-        entries = []
-        for d in os.listdir(self.checkpoint_dir):
-            if d.startswith("model_") and d != "model_last" and not d.endswith(".meta.json"):
-                try:
-                    entries.append((int(d.split("_")[1]), d))
-                except ValueError:
-                    continue
-        entries.sort()
-        import shutil
-
-        for _, d in entries[: max(len(entries) - n, 0)]:
-            shutil.rmtree(os.path.join(self.checkpoint_dir, d), ignore_errors=True)
-            meta = os.path.join(self.checkpoint_dir, d + ".meta.json")
-            if os.path.isfile(meta):
-                os.remove(meta)
+        return checkpoint_save(self.checkpoint_dir, state, step, last=last,
+                               meta=meta, keep_last_n=self.keep_last_n_checkpoints)
 
     def load_checkpoint(self, path: str, template: TrainState) -> TrainState:
         """Restore a full TrainState (params/EMA/optimizer/step AND the
         duration-predictor trio when enabled — dropping them silently broke
         curriculum resume). Also reads the ``.meta.json`` sidecar into
         ``self.resume_meta`` for ``restore_meta``."""
-        import orbax.checkpoint as ocp
-
-        path = os.path.abspath(path)
-        ckptr = ocp.StandardCheckpointer()
-        restored = ckptr.restore(path, target=jax.device_get(template))
-        meta_path = path + ".meta.json"
-        self.resume_meta = None
-        if os.path.isfile(meta_path):
-            with open(meta_path, "r", encoding="utf-8") as f:
-                self.resume_meta = json.load(f)
+        restored, self.resume_meta = checkpoint_restore(path, template)
         rep = replicated(self.mesh)
         kwargs = {}
         if template.dur_pred_params is not None:

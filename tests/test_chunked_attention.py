@@ -1,0 +1,79 @@
+"""Chunked online-softmax training attention (flash-style, in-kernel dropout) vs
+the einsum reference (SDPA dropout semantics, reference `modules.py:490,582`)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from eraxvif5tts_tpu.ops.attention import (
+    attention_reference,
+    chunked_dot_product_attention,
+)
+
+
+def _qkv(b=2, n=512, h=2, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.standard_normal((b, n, h, d)).astype(np.float32))
+    return mk(), mk(), mk()
+
+
+def test_chunked_matches_reference_no_dropout():
+    q, k, v = _qkv(n=512)
+    mask = jnp.asarray(np.array([[True] * 512, [True] * 300 + [False] * 212]))
+    got = jax.jit(lambda *a: chunked_dot_product_attention(
+        *a, key_valid=mask, query_chunk_size=128, key_chunk_size=128))(q, k, v)
+    want = attention_reference(q, k, v, key_valid=mask)
+    # padded-query rows are garbage in both (zeroed by the caller); compare valid
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got[1, :300]), np.asarray(want[1, :300]),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_single_chunk_and_dense_fallback():
+    # n <= chunk cap: single chunk
+    q, k, v = _qkv(n=48)
+    got = chunked_dot_product_attention(q, k, v)
+    want = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+    # ragged n > cap that no block divides: dense fallback path
+    q, k, v = _qkv(n=600)
+    got = chunked_dot_product_attention(q, k, v, query_chunk_size=512)
+    want = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_dropout_deterministic_and_unbiased():
+    q, k, v = _qkv(n=256)
+    key = jax.random.key(3)
+    f = jax.jit(lambda rng: chunked_dot_product_attention(
+        q, k, v, dropout_rate=0.5, dropout_rng=rng,
+        query_chunk_size=128, key_chunk_size=128))
+    out1, out2 = f(key), f(key)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    out3 = f(jax.random.key(4))
+    assert not np.allclose(np.asarray(out1), np.asarray(out3))
+    # unbiased in expectation: averaging over many keys approaches no-dropout
+    outs = np.mean([np.asarray(f(jax.random.key(i))) for i in range(64)], axis=0)
+    want = np.asarray(attention_reference(q, k, v))
+    assert np.abs(outs - want).mean() < 0.15 * np.abs(want).mean() + 0.05
+
+
+def test_chunked_attention_grads_finite_with_padding():
+    q, k, v = _qkv(b=1, n=256)
+    mask = jnp.asarray(np.array([[True] * 100 + [False] * 156]))
+
+    def loss(q, k, v):
+        out = chunked_dot_product_attention(
+            q, k, v, key_valid=mask, dropout_rate=0.1,
+            dropout_rng=jax.random.key(0), query_chunk_size=128, key_chunk_size=128)
+        out = jnp.where(mask[..., None, None], out, 0.0)
+        return jnp.sum(jnp.square(out))
+
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+    # fully-padded key columns get zero gradient
+    gk = np.asarray(grads[1])
+    assert np.abs(gk[0, 100:]).max() == 0.0

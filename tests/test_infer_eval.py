@@ -153,13 +153,17 @@ def test_get_inference_prompt_and_eval_run(wrapper, ref_wav_path, tmp_path):
 def test_ecapa_tdnn_embedding_and_sim(tmp_path, ref_wav_path):
     import jax.numpy as jnp
 
-    from eraxvif5tts_tpu.eval.ecapa_tdnn import ECAPA_TDNN, make_mel_embed_fn
+    from eraxvif5tts_tpu.eval.ecapa_tdnn import (
+        ecapa_embed,
+        init_random_params,
+        make_mel_embed_fn,
+    )
     from eraxvif5tts_tpu.eval.utils_eval import run_sim
 
-    model = ECAPA_TDNN(channels=64, emb_dim=32)
+    params = init_random_params(np.random.default_rng(0), feat_dim=80,
+                                channels=64, emb_dim=32)
     feats = jnp.asarray(np.random.default_rng(0).standard_normal((2, 50, 80)).astype(np.float32))
-    variables = jax.jit(model.init)(jax.random.key(0), feats)
-    emb = jax.jit(model.apply)(variables, feats)
+    emb = jax.jit(ecapa_embed)(params, feats)
     assert emb.shape == (2, 32)
     assert np.isfinite(np.asarray(emb)).all()
 

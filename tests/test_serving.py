@@ -102,6 +102,87 @@ def test_http_error_paths(http_port):
     assert conn.getresponse().status == 404
 
 
+def test_http_oversize_body_rejected(http_port):
+    """A content-length beyond max_body_bytes is refused BEFORE buffering (413)."""
+    with socket.create_connection(("127.0.0.1", http_port), timeout=30) as s:
+        huge = 10 * 1024 * 1024 * 1024  # 10 GiB claim
+        s.sendall(
+            f"POST /tts/stream HTTP/1.1\r\nhost: x\r\ncontent-type: application/json\r\n"
+            f"content-length: {huge}\r\n\r\n".encode()
+        )
+        status = s.recv(4096).decode("latin1").split("\r\n")[0]
+    assert "413" in status
+
+
+def _stream_bytes(port, text, reference_id, seed=0):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=600)
+    body = json.dumps({"text": text, "reference_id": reference_id,
+                       "nfe_step": 2, "seed": seed})
+    conn.request("POST", "/tts/stream", body=body,
+                 headers={"content-type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    assert resp.status == 200
+    return data
+
+
+def test_http_concurrent_streams_no_crosstalk(http_port, wrapper):
+    """Two parallel /tts/stream requests with DIFFERENT references produce exactly
+    the same audio as when run serially — the immutable per-request ReferenceState
+    holds under load (the reference server mutates shared wrapper attrs,
+    `f5tts-fastapi-server.py:327-343`)."""
+    # upload a second, different-sounding reference through the real endpoint
+    t = np.arange(SR // 4) / SR
+    wav2 = (0.2 * np.sin(2 * np.pi * 420 * t)).astype(np.float32)
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(SR)
+        wf.writeframes((wav2 * 32767).astype("<i2").tobytes())
+    boundary = "x123"
+    parts = (
+        f'--{boundary}\r\ncontent-disposition: form-data; name="reference_id"\r\n\r\nalt\r\n'
+        f'--{boundary}\r\ncontent-disposition: form-data; name="ref_text"\r\n\r\nother ref\r\n'
+        f'--{boundary}\r\ncontent-disposition: form-data; name="file"; filename="a.wav"\r\n'
+        "content-type: audio/wav\r\n\r\n"
+    ).encode() + buf.getvalue() + f"\r\n--{boundary}--\r\n".encode()
+    conn = http.client.HTTPConnection("127.0.0.1", http_port, timeout=60)
+    conn.request("POST", "/upload_reference", body=parts,
+                 headers={"content-type": f"multipart/form-data; boundary={boundary}"})
+    assert conn.getresponse().status == 202
+    for _ in range(300):
+        conn.request("GET", "/references")
+        refs = json.loads(conn.getresponse().read())["references"]
+        if refs.get("alt", {}).get("status") == "ready":
+            break
+        time.sleep(0.2)
+    assert refs["alt"]["status"] == "ready"
+
+    # serial baselines
+    want_a = _stream_bytes(http_port, "hello there.", "default")
+    want_b = _stream_bytes(http_port, "hello there.", "alt")
+    assert want_a != want_b  # different references actually change the audio
+
+    # concurrent run: each request must still match its own serial baseline
+    results = {}
+
+    def worker(key, ref_id):
+        results[key] = _stream_bytes(http_port, "hello there.", ref_id)
+
+    threads = [threading.Thread(target=worker, args=("a", "default")),
+               threading.Thread(target=worker, args=("b", "alt"))]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=600)
+    assert results["a"] == want_a
+    assert results["b"] == want_b
+
+
 def test_socket_processor_streams_chunks(wrapper):
     proc = TTSStreamingProcessor(wrapper, ref_state=wrapper.ref, nfe_step=2,
                                  output_file=None, warm_up=False, chunk_size=512)
