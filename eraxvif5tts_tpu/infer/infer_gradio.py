@@ -1,17 +1,110 @@
 """Gradio web UI for inference (reference `src/f5_tts/infer/infer_gradio.py`).
 
-The UI wraps the same porcelain as the CLI: basic TTS tab, multi-speech-type tab
-(the ``[voice]`` tag routing from `infer_cli`), and a custom-model loader. Gradio is
-an optional dependency; the app builder raises a clear error without it.
+Tabs mirror the reference app:
+- **Basic TTS** (`infer_gradio.py:189`): reference audio/text, NFE/CFG/speed/seed,
+  cross-fade, silence removal.
+- **Multi-Speech-Type** (`infer_gradio.py:295`): ``{speech_type}`` curly-tag routing
+  — each named type carries its OWN reference audio + text
+  (``parse_speechtypes_text``, reference `:270-290`).
+- **Custom model loader** (`infer_gradio.py:71-89, 145-150`): load any
+  checkpoint/vocab pair into a fresh wrapper at runtime, cached by path.
+
+The voice-chat tab (reference `:541`, Qwen2.5-3B LLM) is out of scope offline; the
+routing core is exposed as pure functions so it is testable without gradio.
 """
 
 from __future__ import annotations
 
+import re
+from dataclasses import dataclass, field
+from typing import Optional
+
 import numpy as np
 
-from eraxvif5tts_tpu.infer.infer_cli import split_voice_chunks
+from eraxvif5tts_tpu.infer.utils import cross_fade_concat
 from eraxvif5tts_tpu.infer.utils_infer import infer_process, preprocess_ref_audio_text
 from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
+
+
+def parse_speechtypes_text(gen_text: str) -> list[dict[str, str]]:
+    """Split ``{speech_type}`` tagged text into ordered segments
+    (reference `infer_gradio.py:270-290`). Untagged leading text is 'Regular'."""
+    tokens = re.split(r"\{(.*?)\}", gen_text)
+    segments: list[dict[str, str]] = []
+    current = "Regular"
+    for i, token in enumerate(tokens):
+        if i % 2 == 0:
+            text = token.strip()
+            if text:
+                segments.append({"style": current, "text": text})
+        else:
+            current = token.strip()
+    return segments
+
+
+def generate_multistyle(
+    wrapper: F5TTSWrapper,
+    refs: dict[str, tuple[str, str]],  # style -> (ref_audio_path, ref_text)
+    gen_text: str,
+    nfe_step: int = 32,
+    cfg_strength: float = 2.0,
+    speed: float = 1.0,
+    seed: Optional[int] = None,
+    cross_fade_duration: float = 0.15,
+) -> tuple[np.ndarray, int]:
+    """Route each ``{style}`` segment to its own reference; unknown styles fall
+    back to Regular (reference `infer_gradio.py:470-500` behavior)."""
+    prepped: dict[str, tuple] = {}
+
+    def get_ref(style: str):
+        if style not in refs:
+            style = "Regular"
+        if style not in prepped:
+            audio, text = refs[style]
+            prepped[style] = preprocess_ref_audio_text(audio, text)
+        return prepped[style]
+
+    waves = []
+    sr = wrapper.target_sample_rate
+    for seg in parse_speechtypes_text(gen_text):
+        ref_audio, ref_text = get_ref(seg["style"])
+        wave, sr, _ = infer_process(
+            ref_audio, ref_text, seg["text"], wrapper,
+            nfe_step=nfe_step, cfg_strength=cfg_strength, speed=speed, seed=seed,
+        )
+        waves.append(np.asarray(wave))
+    if not waves:
+        return np.zeros(1, np.float32), sr
+    return cross_fade_concat(waves, sr, cross_fade_duration), sr
+
+
+@dataclass
+class ModelSlot:
+    """Runtime custom-model cache (reference `infer_gradio.py:84, 145-150`:
+    reload only when the path changes)."""
+
+    wrapper: F5TTSWrapper
+    custom: Optional[F5TTSWrapper] = None
+    custom_key: tuple = field(default_factory=tuple)
+
+    def load_custom(self, ckpt_path: str, vocab_path: str = "",
+                    model_name: str = "F5TTS_v1_Base") -> F5TTSWrapper:
+        key = (ckpt_path, vocab_path, model_name)
+        if self.custom is None or self.custom_key != key:
+            self.custom = F5TTSWrapper(
+                model_name=model_name, ckpt_path=ckpt_path,
+                vocab_file=vocab_path or None,
+            )
+            self.custom_key = key
+        return self.custom
+
+    def active(self, use_custom: bool) -> F5TTSWrapper:
+        if use_custom and self.custom is not None:
+            return self.custom
+        return self.wrapper
+
+
+MAX_SPEECH_TYPES = 8
 
 
 def build_app(wrapper: F5TTSWrapper):
@@ -23,48 +116,100 @@ def build_app(wrapper: F5TTSWrapper):
             "server (`eraxvif5tts-server`) instead"
         ) from e
 
-    def tts(ref_audio, ref_text, gen_text, nfe_step, cfg_strength, speed, seed):
+    slot = ModelSlot(wrapper=wrapper)
+
+    def tts(ref_audio, ref_text, gen_text, nfe_step, cfg_strength, speed, seed,
+            cross_fade, remove_silence, use_custom):
+        w = slot.active(bool(use_custom))
         ref_audio, ref_text = preprocess_ref_audio_text(ref_audio, ref_text)
         wave, sr, _ = infer_process(
-            ref_audio, ref_text, gen_text, wrapper,
+            ref_audio, ref_text, gen_text, w,
             nfe_step=int(nfe_step), cfg_strength=float(cfg_strength),
             speed=float(speed), seed=int(seed) if seed else None,
+            cross_fade_duration=float(cross_fade),
         )
-        return sr, np.asarray(wave)
+        wave = np.asarray(wave)
+        if remove_silence:
+            from eraxvif5tts_tpu.audio.silence import remove_silence_edges
 
-    def multi_tts(ref_audio, ref_text, gen_text, nfe_step):
-        ref_audio, ref_text = preprocess_ref_audio_text(ref_audio, ref_text)
-        waves = []
-        sr = wrapper.target_sample_rate
-        for _voice, text in split_voice_chunks(gen_text):
-            wave, sr, _ = infer_process(ref_audio, ref_text, text, wrapper,
-                                        nfe_step=int(nfe_step))
-            waves.append(wave)
-        return sr, np.concatenate(waves) if waves else np.zeros(1, np.float32)
+            wave = remove_silence_edges(wave, sr)
+        return sr, wave
+
+    def multi_tts(gen_text, nfe_step, seed, use_custom, *type_fields):
+        w = slot.active(bool(use_custom))
+        refs: dict[str, tuple[str, str]] = {}
+        for i in range(MAX_SPEECH_TYPES):
+            name, audio, text = type_fields[3 * i: 3 * i + 3]
+            if name and audio:
+                refs[str(name).strip()] = (audio, str(text or ""))
+        if "Regular" not in refs:
+            raise gr.Error("the 'Regular' speech type needs reference audio")
+        wave, sr = generate_multistyle(
+            w, refs, gen_text, nfe_step=int(nfe_step),
+            seed=int(seed) if seed else None,
+        )
+        return sr, wave
+
+    def load_custom_fn(ckpt_path, vocab_path, model_name):
+        if not ckpt_path:
+            return "no checkpoint path given"
+        try:
+            slot.load_custom(ckpt_path, vocab_path, model_name)
+            return f"loaded {ckpt_path} ({model_name})"
+        except Exception as e:  # surface load errors in the UI
+            return f"load failed: {e}"
 
     with gr.Blocks(title="EraXviF5TTS-TPU") as app:
         gr.Markdown("# EraXviF5TTS-TPU — zero-shot voice cloning")
+        use_custom = gr.Checkbox(label="Use custom model (load in last tab)", value=False)
         with gr.Tab("Basic TTS"):
             ref_audio = gr.Audio(label="Reference audio", type="filepath")
             ref_text = gr.Textbox(label="Reference text (empty = auto transcribe)")
             gen_text = gr.Textbox(label="Text to generate", lines=4)
-            nfe = gr.Slider(4, 64, value=32, step=2, label="NFE steps")
-            cfg = gr.Slider(0.0, 4.0, value=2.0, step=0.1, label="CFG strength")
-            speed = gr.Slider(0.3, 2.0, value=1.0, step=0.1, label="Speed")
-            seed = gr.Number(value=0, label="Seed (0 = random)")
+            with gr.Accordion("Advanced", open=False):
+                nfe = gr.Slider(4, 64, value=32, step=2, label="NFE steps")
+                cfg = gr.Slider(0.0, 4.0, value=2.0, step=0.1, label="CFG strength")
+                speed = gr.Slider(0.3, 2.0, value=1.0, step=0.1, label="Speed")
+                seed = gr.Number(value=0, label="Seed (0 = random)")
+                cross_fade = gr.Slider(0.0, 1.0, value=0.15, step=0.01,
+                                       label="Cross-fade (s)")
+                remove_sil = gr.Checkbox(label="Remove silences", value=False)
             out = gr.Audio(label="Generated")
             gr.Button("Synthesize").click(
-                tts, [ref_audio, ref_text, gen_text, nfe, cfg, speed, seed], out
+                tts, [ref_audio, ref_text, gen_text, nfe, cfg, speed, seed,
+                      cross_fade, remove_sil, use_custom], out
             )
-        with gr.Tab("Multi-voice"):
-            ref_audio2 = gr.Audio(label="Main reference audio", type="filepath")
-            ref_text2 = gr.Textbox(label="Main reference text")
-            gen_text2 = gr.Textbox(label="Text with [voice] tags", lines=6)
+        with gr.Tab("Multi-Speech-Type"):
+            gr.Markdown(
+                "Mark segments with `{Type}` tags, e.g.\n"
+                "```\n{Regular} Hello there. {Surprised} What?! {Whisper} bye...\n```\n"
+                "Each type below carries its own reference audio + text."
+            )
+            type_fields = []
+            for i in range(MAX_SPEECH_TYPES):
+                with gr.Row():
+                    name = gr.Textbox(label=f"Type {i+1} name",
+                                      value="Regular" if i == 0 else "")
+                    audio = gr.Audio(label="Reference audio", type="filepath")
+                    text = gr.Textbox(label="Reference text")
+                type_fields += [name, audio, text]
+            gen_text2 = gr.Textbox(label="Text with {type} tags", lines=6)
             nfe2 = gr.Slider(4, 64, value=32, step=2, label="NFE steps")
+            seed2 = gr.Number(value=0, label="Seed (0 = random)")
             out2 = gr.Audio(label="Generated")
             gr.Button("Synthesize").click(
-                multi_tts, [ref_audio2, ref_text2, gen_text2, nfe2], out2
+                multi_tts, [gen_text2, nfe2, seed2, use_custom] + type_fields, out2
             )
+        with gr.Tab("Custom model"):
+            ckpt_path = gr.Textbox(label="Checkpoint path (.pt/.safetensors)")
+            vocab_path = gr.Textbox(label="Vocab file path (optional)")
+            model_name = gr.Dropdown(
+                ["F5TTS_v1_Base", "F5TTS_v1_Pruned_14", "F5TTS_v1_Pruned_12",
+                 "F5TTS_Base", "F5TTS_Small", "E2TTS_Base"],
+                value="F5TTS_v1_Base", label="Architecture preset")
+            status = gr.Textbox(label="Status", interactive=False)
+            gr.Button("Load").click(load_custom_fn,
+                                    [ckpt_path, vocab_path, model_name], status)
     return app
 
 

@@ -67,18 +67,33 @@ def transcribe(ref_audio: str, language: Optional[str] = None) -> str:
 
 def load_vocoder(vocoder_name: str = "vocos", is_local: bool = False,
                  local_path: str = "", **_):
-    """Build the native Vocos decoder; weights from a local checkpoint when given
-    (the reference downloads from HF — zero-egress environments must pass
-    ``local_path``)."""
+    """Build a native decoder — Vocos (default) or BigVGAN — with weights from a
+    local checkpoint when given (the reference downloads from HF,
+    `utils_infer.py:101-139` — zero-egress environments must pass ``local_path``).
+
+    Both return ``(vocoder, params)`` where ``vocoder`` decodes
+    ``mel [b, n_mels, t]`` -> wave; BigVGAN is the functional generator from
+    `models/bigvgan.py` (call as ``vocoder(params, mel)``), Vocos a flax module
+    (``vocoder.apply({'params': params}, mel)``).
+    """
     import jax
     import jax.numpy as jnp
+
+    if vocoder_name == "bigvgan":
+        import numpy as _np
+
+        from eraxvif5tts_tpu.models.bigvgan import BigVGAN, load_bigvgan
+
+        if is_local and local_path:
+            return load_bigvgan(local_path)
+        vocoder = BigVGAN()
+        return vocoder, vocoder.init_random_params(_np.random.default_rng(0))
+    if vocoder_name != "vocos":
+        raise ValueError(f"unknown vocoder {vocoder_name!r} (vocos | bigvgan)")
 
     from eraxvif5tts_tpu.compression.convert import load_state_dict, vocos_params_from_torch
     from eraxvif5tts_tpu.models.vocos import Vocos
 
-    if vocoder_name != "vocos":
-        raise NotImplementedError("only the native vocos decoder is built in; "
-                                  "bigvgan requires external weights")
     vocoder = Vocos()
     if is_local and local_path:
         params = vocos_params_from_torch(load_state_dict(local_path))

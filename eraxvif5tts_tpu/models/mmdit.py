@@ -126,14 +126,15 @@ class JointAttention(nn.Module):
         if mask is not None:
             key_valid = jnp.pad(mask, ((0, 0), (0, nt)), constant_values=True)
 
-        if self.dropout > 0.0 and not deterministic:
+        if not deterministic and self.dropout > 0.0:
             # attention-weight dropout on the train path (`modules.py:582`)
             out = chunked_dot_product_attention(
                 q, k, v, key_valid=key_valid, dropout_rate=self.dropout,
                 dropout_rng=self.make_rng("dropout"),
             )
         else:
-            out = dot_product_attention(q, k, v, key_valid=key_valid)
+            out = dot_product_attention(q, k, v, key_valid=key_valid,
+                                        trainable=not deterministic)
         out = out.reshape(b, n + nt, inner)
         x_out, c_out = out[:, :n], out[:, n:]
 

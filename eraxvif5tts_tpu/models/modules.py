@@ -299,16 +299,19 @@ class Attention(nn.Module):
                 q = apply_rotary(q.swapaxes(1, 2), rope).swapaxes(1, 2)
                 k = apply_rotary(k.swapaxes(1, 2), rope).swapaxes(1, 2)
 
-        if self.dropout > 0.0 and not deterministic:
-            # Train path: chunked online-softmax attention with in-kernel
-            # attention-weight dropout, matching SDPA(dropout_p=0.1)
+        if not deterministic and self.dropout > 0.0:
+            # Train path with attention-weight dropout: chunked online-softmax
+            # attention with in-kernel dropout, matching SDPA(dropout_p=0.1)
             # (`modules.py:490`) without materializing the [b,h,n,n] weights.
             out = chunked_dot_product_attention(
                 q, k, v, key_valid=mask, dropout_rate=self.dropout,
                 dropout_rng=self.make_rng("dropout"),
             )
         else:
-            out = dot_product_attention(q, k, v, key_valid=mask)
+            # dropout-free training differentiates the Pallas flash kernel
+            # (backward blocks configured); inference uses the tuned fwd config
+            out = dot_product_attention(q, k, v, key_valid=mask,
+                                        trainable=not deterministic)
 
         out = out.reshape(b, n, inner)
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)

@@ -35,7 +35,7 @@ def _flash_block(n: int, cap: int = 512) -> int:
     return n
 
 
-def _flash_attention(q, k, v, key_valid):
+def _flash_attention(q, k, v, key_valid, trainable: bool = False):
     """Pallas TPU flash attention; padding expressed as segment ids (padded tokens
     get segment 2, valid tokens 1 — cross-segment attention is masked out and padded
     query rows are zeroed by the caller).
@@ -43,6 +43,9 @@ def _flash_attention(q, k, v, key_valid):
     Block sizes ``(block_q=512, block_k=1024, block_b=1)`` measured fastest on the
     DiT serving shapes (b=2, h=16, n=1024, d=64): 14.8x -> 23.4x realtime (24.6x with the tap-loop ConvPositionEmbedding) for the
     full NFE=32 pipeline on one v5e chip (kernel defaults were slower than XLA).
+
+    ``trainable=True`` also configures the backward (dq/dkv) block sizes so the
+    kernel differentiates — the dropout-free training path.
     """
     from jax.experimental.pallas.ops.tpu.flash_attention import (
         BlockSizes,
@@ -53,8 +56,16 @@ def _flash_attention(q, k, v, key_valid):
     b, n, h, d = q.shape
     block_q = _flash_block(n, 512)
     block_k = _flash_block(n, 1024)
-    block_sizes = BlockSizes(block_q=block_q, block_k_major=block_k, block_k=block_k,
-                             block_b=1)
+    if trainable:
+        bq, bk = _flash_block(n, 512), _flash_block(n, 512)
+        block_sizes = BlockSizes(
+            block_q=block_q, block_k_major=block_k, block_k=block_k, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+            block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+        )
+    else:
+        block_sizes = BlockSizes(block_q=block_q, block_k_major=block_k,
+                                 block_k=block_k, block_b=1)
     qt = q.swapaxes(1, 2)  # [b, h, n, d]
     kt = k.swapaxes(1, 2)
     vt = v.swapaxes(1, 2)
@@ -75,12 +86,15 @@ def dot_product_attention(
     v: jnp.ndarray,
     key_valid: jnp.ndarray | None = None,
     implementation: str | None = None,
+    trainable: bool = False,
 ) -> jnp.ndarray:
     """Softmax attention over full sequences. ``q/k/v: [b, n, h, d]``.
 
     On TPU with 128-aligned sequence lengths this dispatches to the Pallas flash
     kernel (never materializes the [n, n] logits — the serving hot loop is otherwise
     HBM-bound on attention traffic); elsewhere it uses XLA's fused attention.
+    ``trainable=True`` selects the flash configuration with backward blocks
+    (dropout-free training).
     """
     n, d = q.shape[1], q.shape[3]
     if (
@@ -90,7 +104,7 @@ def dot_product_attention(
         and d in (64, 128, 256)
         and q.shape == k.shape == v.shape
     ):
-        return _flash_attention(q, k, v, key_valid)
+        return _flash_attention(q, k, v, key_valid, trainable=trainable)
     mask = None
     if key_valid is not None:
         # [b, n] key validity -> broadcastable [b, 1, 1(q), n(k)]
@@ -145,6 +159,14 @@ def chunked_dot_product_attention(
     neg = jnp.asarray(jnp.finfo(jnp.float32).min, jnp.float32)
     nq, nk = n // qc, n // kc
     keep = 1.0 - dropout_rate
+    if dropout_rate > 0.0:
+        # threefry bits for the [n, n]-granularity masks dominated the train step
+        # (45 s/step at 9x4096 on v5e); the TPU-hardware rbg generator is ~free.
+        kd = jax.random.key_data(dropout_rng)
+        if kd.shape[-1] == 2:
+            dropout_rng = jax.random.wrap_key_data(
+                jnp.concatenate([kd, kd], axis=-1), impl="rbg"
+            )
 
     # chunk-major layouts for scan
     qr = jnp.moveaxis(q.reshape(b, nq, qc, h, d), 1, 0)  # [nq, b, qc, h, d]

@@ -170,3 +170,34 @@ def test_ecapa_tdnn_embedding_and_sim(tmp_path, ref_wav_path):
     embed_fn = make_mel_embed_fn()
     results = run_sim([(ref_wav_path, ref_wav_path)], embed_fn)
     assert results[0]["sim"] == pytest.approx(1.0, abs=1e-4)  # self-similarity
+
+
+def test_parse_speechtypes_text():
+    from eraxvif5tts_tpu.infer.infer_gradio import parse_speechtypes_text
+
+    segs = parse_speechtypes_text(
+        "{Regular} Hello. {Surprised} What?! {Whisper} bye..."
+    )
+    assert segs == [
+        {"style": "Regular", "text": "Hello."},
+        {"style": "Surprised", "text": "What?!"},
+        {"style": "Whisper", "text": "bye..."},
+    ]
+    # untagged leading text defaults to Regular
+    assert parse_speechtypes_text("plain text")[0] == {"style": "Regular",
+                                                       "text": "plain text"}
+
+
+def test_generate_multistyle_routes_per_type(wrapper, ref_wav_path, tmp_path):
+    from eraxvif5tts_tpu.infer.infer_gradio import generate_multistyle
+
+    t = np.arange(SR // 4) / SR
+    other = str(tmp_path / "other.wav")
+    write_wav(other, (0.2 * np.sin(2 * np.pi * 420 * t)).astype(np.float32), SR)
+    refs = {"Regular": (ref_wav_path, "hello ref. "),
+            "Whisper": (other, "soft voice. ")}
+    wave, sr = generate_multistyle(
+        wrapper, refs, "{Regular} one. {Whisper} two. {Unknown} three.",
+        nfe_step=2, seed=0,
+    )
+    assert sr == SR and len(wave) > 0 and np.isfinite(wave).all()
