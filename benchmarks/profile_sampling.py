@@ -14,6 +14,7 @@ binding-resource analysis.
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import time
 
@@ -21,12 +22,11 @@ import numpy as np
 
 
 def timed(fn, sync, iters=3):
-    fn()  # compile
-    sync()
+    """fn() -> device value; sync(value) blocks until it is computed."""
+    sync(fn())  # compile + warm
     t0 = time.perf_counter()
     for _ in range(iters):
-        fn()
-    sync()
+        sync(fn())
     return (time.perf_counter() - t0) / iters
 
 
@@ -50,8 +50,15 @@ def main():
 
     results = {}
 
+    def record(k, v):
+        results[k] = v
+        print(json.dumps({k: v}), flush=True)
+
     def sync_arr(x):
-        np.asarray(jax.device_get(jax.tree.leaves(x)[0]).ravel()[:1])
+        # slice ON DEVICE first — device_get of the full array ships megabytes
+        # through the axon tunnel and dominates the measurement
+        leaf = jax.tree.leaves(x)[0]
+        np.asarray(leaf.ravel()[:1])
 
     # --- 1. full pipeline b=1 / b=8 -------------------------------------
     for b in (1, 8):
@@ -61,10 +68,14 @@ def main():
         duration = jnp.full((b,), n)
         lens = jnp.full((b,), ref)
 
-        def run(cond=cond, text=text, duration=duration, lens=lens):
+        vocode = jax.jit(
+            lambda mel: vocoder.apply({"params": vparams}, mel.swapaxes(1, 2))
+        )
+
+        def run(cond=cond, text=text, duration=duration, lens=lens, vocode=vocode):
             mel = cfm.sample(params, cond, text, duration, lens, jax.random.key(3),
                              steps=args.nfe, max_duration=n)
-            return vocoder.apply({"params": vparams}, mel.swapaxes(1, 2))
+            return vocode(mel)
 
         out = run()
         sync_arr(out)
@@ -73,8 +84,8 @@ def main():
             sync_arr(run())
         wall = (time.perf_counter() - t0) / 3
         audio_s = b * (n - ref) * hop / sr
-        results[f"rtf_b{b}"] = round(audio_s / wall, 2)
-        results[f"wall_b{b}_ms"] = round(wall * 1e3, 1)
+        record(f"rtf_b{b}", round(audio_s / wall, 2))
+        record(f"wall_b{b}_ms", round(wall * 1e3, 1))
 
     # --- 2. one DiT forward at serving shape ----------------------------
     b2 = 2  # CFG-doubled batch
@@ -85,7 +96,10 @@ def main():
     false_b = jnp.zeros((b2,), bool)
     mask = jnp.ones((b2, n), bool)
 
-    def dit_loop(reps):
+    # params must be jit ARGUMENTS, not closure constants: the axon remote-compile
+    # service rejects HLO with 672 MB of baked-in weight constants (HTTP 413).
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def dit_loop(params, x, reps):
         def body(i, acc):
             out = cfm.transformer.apply(
                 {"params": params}, acc, condf, te, tvec, false_b, mask,
@@ -93,9 +107,9 @@ def main():
             return out.astype(acc.dtype)
         return jax.lax.fori_loop(0, reps, body, x)
 
-    f = jax.jit(lambda: dit_loop(args.loop))
-    wall = timed(f, lambda: sync_arr(f()))
-    results["dit_forward_ms"] = round(wall / args.loop * 1e3, 2)
+    f = lambda: dit_loop(params, x, args.loop)  # noqa: E731
+    wall = timed(f, sync_arr)
+    record("dit_forward_ms", round(wall / args.loop * 1e3, 2))
 
     # --- 3. attention-only: pallas vs xla --------------------------------
     from eraxvif5tts_tpu.ops.attention import dot_product_attention
@@ -104,17 +118,18 @@ def main():
     q = jax.random.normal(jax.random.key(6), (b2, n, h, dh), jnp.bfloat16)
 
     for impl, kwargs in (("pallas", {}), ("xla", {"implementation": "xla"})):
-        def attn_loop(reps, kwargs=kwargs):
+        @functools.partial(jax.jit, static_argnames=("reps",))
+        def attn_loop(q, reps, kwargs=kwargs):
             def body(i, acc):
                 return dot_product_attention(acc, q, q, **kwargs)
             return jax.lax.fori_loop(0, reps, body, q)
 
-        fa = jax.jit(lambda attn_loop=attn_loop: attn_loop(args.loop * 4))
-        wall = timed(fa, lambda fa=fa: sync_arr(fa()))
+        fa = lambda attn_loop=attn_loop: attn_loop(q, args.loop * 4)  # noqa: E731
+        wall = timed(fa, sync_arr)
         per = wall / (args.loop * 4)
         flops = 4 * b2 * h * n * n * dh  # qk + pv
-        results[f"attn_{impl}_us"] = round(per * 1e6, 1)
-        results[f"attn_{impl}_tflops"] = round(flops / per / 1e12, 1)
+        record(f"attn_{impl}_us", round(per * 1e6, 1))
+        record(f"attn_{impl}_tflops", round(flops / per / 1e12, 1))
 
     # --- 4. matmul roofline at the FF shape ------------------------------
     d_model, ff = cfg.arch.dim, cfg.arch.dim * cfg.arch.ff_mult
@@ -122,17 +137,18 @@ def main():
     w1 = jax.random.normal(jax.random.key(8), (d_model, ff), jnp.bfloat16)
     w2 = jax.random.normal(jax.random.key(9), (ff, d_model), jnp.bfloat16)
 
-    def mm_loop(reps):
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def mm_loop(a, w1, w2, reps):
         def body(i, acc):
             return (acc @ w1) @ w2
         return jax.lax.fori_loop(0, reps, body, a)
 
-    fm = jax.jit(lambda: mm_loop(args.loop * 8))
-    wall = timed(fm, lambda: sync_arr(fm()))
+    fm = lambda: mm_loop(a, w1, w2, args.loop * 8)  # noqa: E731
+    wall = timed(fm, sync_arr)
     per = wall / (args.loop * 8)
     flops = 2 * a.shape[0] * d_model * ff * 2
-    results["ff_matmul_us"] = round(per * 1e6, 1)
-    results["ff_matmul_tflops"] = round(flops / per / 1e12, 1)
+    record("ff_matmul_us", round(per * 1e6, 1))
+    record("ff_matmul_tflops", round(flops / per / 1e12, 1))
 
     print(json.dumps(results))
 

@@ -18,14 +18,18 @@ from eraxvif5tts_tpu.eval.utils_eval import run_asr_wer, run_sim
 
 
 def eval_wer_dir(gen_wav_dir: str, metainfo, language: str = "en",
-                 out_jsonl: str | None = None, asr_fn=None) -> dict:
-    """WER over generated wavs matched to truth texts; writes jsonl + summary."""
+                 out_jsonl: str | None = None, asr_fn=None,
+                 num_workers: int = 4) -> dict:
+    """WER over generated wavs matched to truth texts; writes jsonl + summary.
+    ``num_workers`` threads score in parallel (reference uses a per-GPU
+    ``mp.Pool``, `eval_seedtts_testset.py:62-70`)."""
     pairs = []
     for utt, _prompt_text, _prompt_wav, gt_text, _gt_wav in metainfo:
         path = os.path.join(gen_wav_dir, f"{utt}.wav")
         if os.path.isfile(path):
             pairs.append((path, gt_text))
-    results = run_asr_wer(pairs, language=language, asr_fn=asr_fn)
+    results = run_asr_wer(pairs, language=language, asr_fn=asr_fn,
+                          num_workers=num_workers)
     wers = [r["wer"] for r in results]
     summary = {"n": len(wers), "wer_mean": float(np.mean(wers)) if wers else None}
     if out_jsonl:
@@ -37,14 +41,15 @@ def eval_wer_dir(gen_wav_dir: str, metainfo, language: str = "en",
 
 
 def eval_sim_dir(gen_wav_dir: str, metainfo, embed_fn,
-                 out_jsonl: str | None = None) -> dict:
-    """Speaker-similarity over generated wavs vs their prompts."""
+                 out_jsonl: str | None = None, num_workers: int = 4) -> dict:
+    """Speaker-similarity over generated wavs vs their prompts (threaded,
+    prompt embeddings cached per distinct prompt)."""
     pairs = []
     for utt, _pt, prompt_wav, _gt, _gw in metainfo:
         path = os.path.join(gen_wav_dir, f"{utt}.wav")
         if os.path.isfile(path):
             pairs.append((path, prompt_wav))
-    results = run_sim(pairs, embed_fn)
+    results = run_sim(pairs, embed_fn, num_workers=num_workers)
     sims = [r["sim"] for r in results]
     summary = {"n": len(sims), "sim_mean": float(np.mean(sims)) if sims else None}
     if out_jsonl:
@@ -91,15 +96,13 @@ def eval_utmos_dir(gen_wav_dir: str, out_jsonl: str | None = None,
             score = predictor(torch.from_numpy(wav.mean(axis=0))[None], sr)
             return float(score)
 
-    scores = []
-    lines = []
-    for name in sorted(os.listdir(gen_wav_dir)):
-        if not name.endswith(".wav"):
-            continue
-        path = os.path.join(gen_wav_dir, name)
-        score = utmos_fn(path)
-        scores.append(score)
-        lines.append({"wav": name, "utmos": score})
+    from eraxvif5tts_tpu.eval.utils_eval import _ordered_pool_map
+
+    names = [n for n in sorted(os.listdir(gen_wav_dir)) if n.endswith(".wav")]
+    scores = _ordered_pool_map(
+        lambda name: utmos_fn(os.path.join(gen_wav_dir, name)), names, num_workers=4
+    )
+    lines = [{"wav": n, "utmos": s} for n, s in zip(names, scores)]
     summary = {"n": len(scores), "utmos_mean": float(np.mean(scores)) if scores else None}
     if out_jsonl:
         with open(out_jsonl, "w", encoding="utf-8") as f:

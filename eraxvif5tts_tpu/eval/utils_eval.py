@@ -171,27 +171,47 @@ def word_error_rate(truth: str, hypothesis: str, language: str = "en") -> float:
     return edit_distance(ref, hyp) / len(ref)
 
 
+def _ordered_pool_map(fn, items, num_workers: int):
+    """Map ``fn`` over ``items`` with a thread pool, preserving order.
+
+    The reference parallelizes WER/SIM scoring with a per-GPU ``mp.Pool``
+    (`eval_seedtts_testset.py:62-70`); here one process owns the one chip, so
+    scoring parallelism is thread-level — wav IO and torch/JAX scoring backends
+    release the GIL, the Python glue does not dominate.
+    """
+    if num_workers <= 1 or len(items) <= 1:
+        return [fn(it) for it in items]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=num_workers) as pool:
+        return list(pool.map(fn, items))
+
+
 def run_asr_wer(
     pairs: list[tuple[str, str]],  # (wav_path, truth_text)
     language: str = "en",
     asr_fn: Optional[Callable[[str], str]] = None,
+    num_workers: int = 1,
 ) -> list[dict]:
     """Transcribe + WER per utterance (`utils_eval.py:305-373`). ``asr_fn`` defaults
-    to the transformers Whisper pipeline (needs model weights available locally)."""
+    to the transformers Whisper pipeline (needs model weights available locally).
+    ``num_workers > 1`` scores utterances through a thread pool (order preserved)."""
     if asr_fn is None:
         from eraxvif5tts_tpu.infer.utils_infer import transcribe
 
         asr_fn = lambda p: transcribe(p, language=language)  # noqa: E731
-    results = []
-    for wav_path, truth in pairs:
+
+    def score(pair):
+        wav_path, truth = pair
         hypo = asr_fn(wav_path)
-        results.append({
+        return {
             "wav": wav_path,
             "truth": truth,
             "hypo": hypo,
             "wer": word_error_rate(truth, hypo, language),
-        })
-    return results
+        }
+
+    return _ordered_pool_map(score, pairs, num_workers)
 
 
 # ---------------------------------------------------------------------------
@@ -207,12 +227,33 @@ def cosine_similarity(a: np.ndarray, b: np.ndarray) -> float:
 def run_sim(
     pairs: list[tuple[str, str]],  # (generated_wav, prompt_wav)
     embed_fn: Callable[[str], np.ndarray],
+    num_workers: int = 1,
 ) -> list[dict]:
     """Speaker-similarity cosine between generated and prompt embeddings
     (`utils_eval.py:379-418`). ``embed_fn`` is the speaker embedder — the reference
-    uses WavLM-large ECAPA-TDNN; any embedding extractor works here."""
-    results = []
-    for gen_wav, prompt_wav in pairs:
-        sim = cosine_similarity(embed_fn(gen_wav), embed_fn(prompt_wav))
-        results.append({"gen": gen_wav, "prompt": prompt_wav, "sim": sim})
-    return results
+    uses WavLM-large ECAPA-TDNN; any embedding extractor works here.
+
+    Prompt embeddings are computed once per distinct prompt wav (test sets reuse
+    prompts across utterances); ``num_workers > 1`` embeds through a thread pool.
+    """
+    import threading
+
+    prompt_cache: dict[str, np.ndarray] = {}
+    lock = threading.Lock()
+
+    def prompt_embed(path: str) -> np.ndarray:
+        with lock:
+            cached = prompt_cache.get(path)
+        if cached is not None:
+            return cached
+        emb = embed_fn(path)
+        with lock:
+            prompt_cache[path] = emb
+        return emb
+
+    def score(pair):
+        gen_wav, prompt_wav = pair
+        sim = cosine_similarity(embed_fn(gen_wav), prompt_embed(prompt_wav))
+        return {"gen": gen_wav, "prompt": prompt_wav, "sim": sim}
+
+    return _ordered_pool_map(score, pairs, num_workers)

@@ -201,3 +201,32 @@ def test_generate_multistyle_routes_per_type(wrapper, ref_wav_path, tmp_path):
         nfe_step=2, seed=0,
     )
     assert sr == SR and len(wave) > 0 and np.isfinite(wave).all()
+
+
+def test_parallel_scoring_order_and_prompt_cache(tmp_path):
+    """Threaded WER/SIM scoring preserves input order; prompt embeddings are
+    computed once per distinct prompt (reference parallelizes with mp.Pool,
+    `eval_seedtts_testset.py:62-70`)."""
+    import threading
+
+    from eraxvif5tts_tpu.eval.utils_eval import run_asr_wer, run_sim
+
+    pairs = [(f"w{i}.wav", f"truth {i}") for i in range(16)]
+    results = run_asr_wer(pairs, asr_fn=lambda p: f"truth {p[1:-4]}", num_workers=4)
+    assert [r["wav"] for r in results] == [p[0] for p in pairs]
+    assert all(r["wer"] == 0.0 for r in results)
+
+    calls: list[str] = []
+    lock = threading.Lock()
+
+    def embed_fn(path):
+        with lock:
+            calls.append(path)
+        return np.ones(4) * (hash(path) % 7 + 1)
+
+    sim_pairs = [(f"gen{i}.wav", "prompt.wav") for i in range(8)]
+    results = run_sim(sim_pairs, embed_fn, num_workers=4)
+    assert [r["gen"] for r in results] == [p[0] for p in sim_pairs]
+    # 8 gen embeddings + exactly one prompt embedding
+    assert calls.count("prompt.wav") == 1
+    assert len(calls) == 9
