@@ -1,0 +1,189 @@
+"""One-shot Pallas attention kernel for the serving hot loop.
+
+The generic flash-attention kernel (jax.experimental.pallas.ops.tpu) runs at
+~13-16 TF/s on the dominant DiT serving shape (b=2, h=16, n=1024, d=64):
+ablation (`benchmarks/ablate_forward.py`) showed the attention path taking ~50%
+of an 11.2 ms forward. Two causes: per-program fixed overhead (~3-8 us) across
+a b*h*nq grid of tiny programs, and online-softmax machinery that is
+unnecessary when the WHOLE key/value sequence fits in VMEM (n<=4096: K+V = 1 MB
+bf16 per head at d=64).
+
+This kernel computes, per (batch, head-block, q-block) program:
+
+    S = Q K^T  ->  mask padded keys  ->  softmax rows  ->  P V
+
+for ``hb`` heads at once (fewer, fatter programs), with no running (max, sum)
+carries. Key padding is expressed as per-sample valid lengths compared against
+an iota — the model's masks are always contiguous prefixes
+(`ops/masks.py lens_to_mask`).
+
+Forward-only (serving); the training path keeps the differentiable flash kernel
+(`ops/attention.py`). Reference semantics: `F.scaled_dot_product_attention`
+(reference `src/f5_tts/model/modules.py:490`).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG = -1e30  # finite "minus infinity": keeps fully-masked rows NaN-free
+
+# VMEM budget for the fp32 logits tile [hb, bq, n] (elements)
+_S_BUDGET = 1024 * 1024
+
+
+def _blocks(n: int, h: int) -> tuple[int, int]:
+    """(head block, q block): fewest programs whose logits tile fits VMEM."""
+    best = (1, 128)
+    best_programs = None
+    for hb in (8, 4, 2, 1):
+        if h % hb:
+            continue
+        cap = (_S_BUDGET // (hb * n)) // 128 * 128
+        bq = 0
+        for cand in range(min(cap, 1024), 127, -128):
+            if n % cand == 0:
+                bq = cand
+                break
+        if bq == 0:
+            continue
+        programs = (h // hb) * (n // bq)
+        if best_programs is None or programs < best_programs:
+            best, best_programs = (hb, bq), programs
+    return best
+
+
+def _rotate(x, cos, sin):
+    """Interleaved-pair rotary on the last axis, VPU-style: the classic
+    ``reshape(..., d/2, 2)`` pair shuffle is a strided lane permutation; two
+    whole-lane rolls + an even/odd select compute the same
+    ``(x0, x1) -> (x0 cos - x1 sin, x1 cos + x0 sin)`` (`ops/rotary.py`).
+
+    x [..., d] (any float dtype), cos/sin [broadcastable ..., d] fp32.
+    Rotation runs in fp32; cast back by the caller.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    x32 = x.astype(jnp.float32)
+    d = x.shape[-1]
+    even = jax.lax.broadcasted_iota(jnp.int32, x.shape, x.ndim - 1) % 2 == 0
+    left = pltpu.roll(x32, d - 1, axis=x.ndim - 1)   # x[j+1] (shift must be >= 0)
+    right = pltpu.roll(x32, 1, axis=x.ndim - 1)      # x[j-1]
+    rh = jnp.where(even, -left, right)
+    return x32 * cos + rh * sin
+
+
+def _kernel(lens_ref, q_ref, k_ref, v_ref, *rest,
+            scale: float, masked: bool, roped: bool):
+    # pallas passes refs as (inputs..., outputs...): rope tables sit between v
+    # and the output when the fused-rotary variant is traced
+    if roped:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    q = q_ref[0]  # [hb, bq, d]
+    k = k_ref[0]  # [hb, n, d]
+    v = v_ref[0]  # [hb, n, d]
+    if roped:
+        # rotary fused into the kernel: rotating q/k at HBM level costs ~1.3 ms
+        # per DiT forward in elementwise passes XLA cannot fuse into an opaque
+        # pallas call; here the rotation happens on VMEM-resident blocks.
+        q = _rotate(q, cosq_ref[...][None], sinq_ref[...][None]).astype(q_ref.dtype)
+        k = _rotate(k, cosk_ref[...][None], sink_ref[...][None]).astype(k_ref.dtype)
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+    ) * scale  # [hb, bq, n]
+    if masked:
+        length = lens_ref[pl.program_id(0)]
+        kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(kpos < length, s, _NEG)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p * pl.reciprocal(denom, approx=False)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [hb, bq, d]
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def serving_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lens: jnp.ndarray | None = None,
+    rope: jnp.ndarray | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Softmax attention ``[b, n, h, d] -> [b, n, h, d]`` with optional
+    contiguous-prefix key masking (``lens [b]`` valid keys per sample) and
+    optional fused rotary (``rope [n, d]`` interleaved-pair angles applied to
+    the raw q/k inside the kernel, all heads).
+
+    Requires n % 128 == 0 and d in {64, 128, 256} (the caller dispatches).
+    """
+    b, n, h, d = q.shape
+    hb, bq = _blocks(n, h)
+    scale = 1.0 / math.sqrt(d)
+    masked = lens is not None
+    if lens is None:
+        lens = jnp.full((b,), n, jnp.int32)
+    roped = rope is not None
+
+    # Mosaic blocks the last two dims, so the kernel runs in [b, h, n, d]; the
+    # transposes fuse with the surrounding reshape/projection ops just as they
+    # did for the generic flash kernel.
+    qt, kt, vt = (t.swapaxes(1, 2) for t in (q, k, v))
+
+    grid = (b, h // hb, n // bq)
+    kernel = functools.partial(_kernel, scale=scale, masked=masked, roped=roped)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # lens [b]
+        pl.BlockSpec((1, hb, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, n, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hb, n, d), lambda bi, hi, qi: (bi, hi, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [lens.astype(jnp.int32), qt, kt, vt]
+    if roped:
+        cos = jnp.cos(rope).astype(jnp.float32)
+        sin = jnp.sin(rope).astype(jnp.float32)
+        in_specs += [
+            pl.BlockSpec((bq, d), lambda bi, hi, qi: (qi, 0),
+                         memory_space=pltpu.VMEM),  # cos_q
+            pl.BlockSpec((bq, d), lambda bi, hi, qi: (qi, 0),
+                         memory_space=pltpu.VMEM),  # sin_q
+            pl.BlockSpec((n, d), lambda bi, hi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),  # cos_k
+            pl.BlockSpec((n, d), lambda bi, hi, qi: (0, 0),
+                         memory_space=pltpu.VMEM),  # sin_k
+        ]
+        operands += [cos, sin, cos, sin]
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, hb, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(qt.shape, q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * n * n * d,
+            bytes_accessed=(3 * b * n * h * d + b * n * h * d) * q.dtype.itemsize,
+            transcendentals=b * h * n * n,
+        ),
+    )(*operands)
+    return out.swapaxes(1, 2)

@@ -1,0 +1,171 @@
+"""Convergence evidence on REAL speech: overfit a small-but-real DiT on the
+reference repo's example utterances (true recordings + true transcripts) and
+record the loss trajectory as an artifact.
+
+Corpus (audio + transcripts shipped with the reference, cited per file):
+- `src/f5_tts/infer/examples/basic/basic_ref_en.wav` — transcript from
+  `examples/basic/basic.toml`
+- `src/f5_tts/infer/examples/basic/basic_ref_zh.wav` — transcript from
+  `infer/speech_edit.py:83`
+- `src/infer/update_213000_ref.wav` (Vietnamese flagship voice) — transcript
+  from `src/infer/F5TTS_Test.ipynb`
+
+This goes beyond the smoke-scale overfit test (`tests/test_convergence.py`):
+real 24 kHz recordings, the production mel frontend, the production `Trainer`
+(pjit step, EMA, NaN-skip, LR schedule), several hundred updates. Writes
+`benchmarks/artifacts/convergence_real.json` with the per-update loss curve and
+prints a one-line JSON summary.
+
+Usage (TPU or CPU):  python scripts/convergence_real.py --updates 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+REF_ROOT = "/root/reference"
+CORPUS = [
+    ("src/f5_tts/infer/examples/basic/basic_ref_en.wav",
+     "Some call me nature, others call me mother nature."),
+    ("src/f5_tts/infer/examples/basic/basic_ref_zh.wav",
+     "对，这就是我，万人敬仰的太乙真人。"),
+    ("src/infer/update_213000_ref.wav",
+     "Thậm chí không ăn thì cũng có cảm giác rất là cứng bụng, chủ yếu là cái "
+     "phần rốn trở lên. Em có cảm giác khó thở, và ngủ cũng không ngon, "
+     "thường bị ợ hơi rất là nhiều"),
+]
+
+
+def load_corpus(mel_fn, sr_target: int, hop: int):
+    from eraxvif5tts_tpu.audio.io import read_wav
+    from eraxvif5tts_tpu.audio.resample import resample
+
+    rows = []
+    for rel, text in CORPUS:
+        path = os.path.join(REF_ROOT, rel)
+        if not os.path.isfile(path):
+            continue
+        wav, sr = read_wav(path)
+        wav = wav.mean(axis=0)
+        if sr != sr_target:
+            wav = resample(wav, sr, sr_target)
+        n_frames = len(wav) // hop
+        wav = wav[: n_frames * hop]
+        mel = np.asarray(mel_fn(wav[None]))[0].T[:n_frames]  # [n, n_mels]
+        rows.append({
+            "text": text,
+            "duration": n_frames * hop / sr_target,
+            "mel_spec": mel.astype(np.float32),
+        })
+    if not rows:
+        raise FileNotFoundError(f"no corpus wavs under {REF_ROOT}")
+    return rows
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--updates", type=int, default=300)
+    ap.add_argument("--dim", type=int, default=256)
+    ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--out", default="benchmarks/artifacts/convergence_real.json")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+
+    from eraxvif5tts_tpu.configs import ArchConfig, MelSpecConfig, ModelConfig
+    from eraxvif5tts_tpu.models import build_backbone
+    from eraxvif5tts_tpu.models.cfm import CFM
+    from eraxvif5tts_tpu.ops.stft import MelSpectrogram
+    from eraxvif5tts_tpu.parallel.mesh import make_mesh
+    from eraxvif5tts_tpu.text.tokenizer import list_str_to_idx
+    from eraxvif5tts_tpu.training.trainer import Trainer, make_optimizer
+
+    mel_cfg = MelSpecConfig()
+    mel_spec = MelSpectrogram(
+        n_fft=mel_cfg.n_fft, hop_length=mel_cfg.hop_length,
+        win_length=mel_cfg.win_length, n_mel_channels=mel_cfg.n_mel_channels,
+        target_sample_rate=mel_cfg.target_sample_rate,
+    )
+    mel_fn = jax.jit(mel_spec.__call__)
+    rows = load_corpus(mel_fn, mel_cfg.target_sample_rate, mel_cfg.hop_length)
+
+    chars = sorted({c for r in rows for c in r["text"]})
+    vocab = {c: i for i, c in enumerate(chars)}
+
+    cfg = ModelConfig(
+        arch=ArchConfig(dim=args.dim, depth=args.depth, heads=8,
+                        dim_head=args.dim // 8, ff_mult=2, text_dim=128,
+                        conv_layers=2, dropout=0.1),
+        mel_spec=mel_cfg,
+    )
+    transformer = build_backbone(cfg, text_num_embeds=len(vocab))
+    cfm = CFM.build(transformer, mel_cfg)
+    optimizer = make_optimizer(learning_rate=args.lr, num_warmup_updates=20,
+                               total_updates=args.updates, max_grad_norm=1.0)
+    trainer = Trainer(cfm=cfm, optimizer=optimizer, mesh=make_mesh(n_model=1),
+                      checkpoint_dir=None)
+
+    # One static padded batch: all three utterances, every update.
+    max_frames = ((max(r["mel_spec"].shape[0] for r in rows) + 127) // 128) * 128
+    b = len(rows)
+    mel = np.zeros((b, max_frames, mel_cfg.n_mel_channels), np.float32)
+    lens = np.zeros((b,), np.int32)
+    for i, r in enumerate(rows):
+        n = r["mel_spec"].shape[0]
+        mel[i, :n] = r["mel_spec"]
+        lens[i] = n
+    text_ids = list_str_to_idx([list(r["text"]) for r in rows], vocab)
+
+    rng = jax.random.key(0)
+    state = trainer.init_state(rng)
+    mel_j, text_j, lens_j = jnp.asarray(mel), jnp.asarray(text_ids), jnp.asarray(lens)
+
+    losses = []
+    for step in range(args.updates):
+        step_rng = jax.random.fold_in(rng, step)
+        state, metrics = trainer.train_step(
+            state, {"mel": mel_j, "text": text_j, "lens": lens_j}, step_rng,
+        )
+        loss = float(metrics["loss"])
+        losses.append(loss)
+        if step % 25 == 0 or step == args.updates - 1:
+            print(json.dumps({"update": step, "loss": round(loss, 4)}), flush=True)
+
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    first = float(np.mean(losses[:10]))
+    last = float(np.mean(losses[-10:]))
+    artifact = {
+        "corpus": [r["text"][:40] for r in rows],
+        "total_frames": int(lens.sum()),
+        "model": {"dim": args.dim, "depth": args.depth, "params_m": round(
+            sum(x.size for x in jax.tree.leaves(state.params)) / 1e6, 2)},
+        "updates": args.updates,
+        "loss_first10_mean": round(first, 4),
+        "loss_last10_mean": round(last, 4),
+        "loss_curve": [round(x, 5) for x in losses],
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(json.dumps({
+        "metric": "convergence_loss_ratio",
+        "value": round(last / first, 4),
+        "unit": "last10/first10",
+        "loss_first10_mean": round(first, 4),
+        "loss_last10_mean": round(last, 4),
+        "artifact": args.out,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -77,3 +77,37 @@ def test_chunked_attention_grads_finite_with_padding():
     # fully-padded key columns get zero gradient
     gk = np.asarray(grads[1])
     assert np.abs(gk[0, 100:]).max() == 0.0
+
+
+def test_serving_attention_kernel_matches_reference():
+    """One-shot serving kernel (interpret mode): exact softmax attention with
+    contiguous-prefix key masking, NaN-free on fully-masked rows."""
+    from eraxvif5tts_tpu.ops.serving_attention import _blocks, serving_attention
+
+    b, n, h, d = 2, 256, 4, 64
+    k1, k2, k3 = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(k1, (b, n, h, d))
+    k = jax.random.normal(k2, (b, n, h, d))
+    v = jax.random.normal(k3, (b, n, h, d))
+
+    out = serving_attention(q, k, v, None, interpret=True)
+    ref = attention_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+    lens = jnp.asarray([200, 131])
+    mask = jnp.arange(n)[None, :] < lens[:, None]
+    out = serving_attention(q, k, v, lens, interpret=True)
+    ref = attention_reference(q, k, v, key_valid=mask)
+    diff = np.abs(np.asarray(out - ref)) * np.asarray(mask)[:, :, None, None]
+    assert diff.max() < 2e-6
+    assert np.isfinite(np.asarray(out)).all()
+
+    # zero valid keys must not produce NaN (padded batch rows)
+    out0 = serving_attention(q, k, v, jnp.asarray([0, n]), interpret=True)
+    assert np.isfinite(np.asarray(out0)).all()
+
+    # block chooser: q block always divides n, head block always divides h
+    for nn in (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096):
+        hb, bq = _blocks(nn, 16)
+        assert nn % bq == 0 and 16 % hb == 0
+        assert hb * bq * nn <= 1024 * 1024 * 4  # logits tile cap
