@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from eraxvif5tts_tpu.ops.attention import (
     chunked_dot_product_attention,
     dot_product_attention,
+    use_serving_kernel,
 )
 from eraxvif5tts_tpu.ops.rotary import apply_rotary
 
@@ -289,7 +290,20 @@ class Attention(nn.Module):
         elif self.qk_norm is not None:
             raise ValueError(f"unimplemented qk_norm: {self.qk_norm!r}")
 
-        if rope is not None:
+        # DiT/UNetT masks are contiguous prefixes (lens_to_mask, optionally with
+        # the UNetT time token prepended), so the serving kernel can mask by
+        # per-sample length. When it handles this shape and every head is
+        # rotated, rotary is fused into the kernel: rotating q/k at HBM level
+        # costs ~56 us/layer in elementwise passes XLA cannot fuse into the
+        # opaque pallas call (measured: fused 142 us vs 118 + 56 unfused).
+        fuse_rope = (
+            rope is not None
+            and self.pe_attn_head is None
+            and rope.shape[-1] == self.dim_head
+            and use_serving_kernel(q, k, v, trainable=not deterministic,
+                                   key_valid=mask, prefix_key_mask=True)
+        )
+        if rope is not None and not fuse_rope:
             if self.pe_attn_head is not None:
                 pn = self.pe_attn_head
                 # heads axis is 2 here ([b, n, h, d]); rotate first pn heads only
@@ -309,9 +323,12 @@ class Attention(nn.Module):
             )
         else:
             # dropout-free training differentiates the Pallas flash kernel
-            # (backward blocks configured); inference uses the tuned fwd config
+            # (backward blocks configured); inference uses the one-shot serving
+            # kernel (rotary fused when fuse_rope)
             out = dot_product_attention(q, k, v, key_valid=mask,
-                                        trainable=not deterministic)
+                                        trainable=not deterministic,
+                                        prefix_key_mask=True,
+                                        rope=rope if fuse_rope else None)
 
         out = out.reshape(b, n, inner)
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)

@@ -85,15 +85,16 @@ def use_serving_kernel(q, k, v, trainable: bool, key_valid, prefix_key_mask: boo
     """True when the one-shot serving kernel will handle this shape — callers
     that can fuse rotary into it check this BEFORE rotating q/k themselves.
 
-    OPT-IN via ``ERAX_SERVING_ATTN=1``: measured end-to-end on v5e the one-shot
-    kernel (batched-head dot variant) ran the NFE=32 pipeline at 19.8x realtime
-    vs 24.5x for the tuned generic flash kernel, so the flash path stays the
-    default; the kernel is kept for continued tuning (`ops/serving_attention.py`)."""
+    Default ON: the headloop variant with in-kernel rotary measured 25.8x
+    realtime end-to-end (NFE=32, v5e) vs 24.4x for the tuned flash kernel
+    (`benchmarks/attn_sweep.py` slope timing: 118 us + fused rope vs 141 us +
+    56 us external rotary at b=2 n=1024). ``ERAX_SERVING_ATTN=0`` is the
+    escape hatch back to the flash path."""
     import os
 
     n, d = q.shape[1], q.shape[3]
     return (
-        os.environ.get("ERAX_SERVING_ATTN", "0") == "1"
+        os.environ.get("ERAX_SERVING_ATTN", "1") != "0"
         and implementation != "xla"
         and not trainable
         and _on_tpu()

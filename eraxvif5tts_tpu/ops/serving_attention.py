@@ -1,21 +1,25 @@
 """One-shot Pallas attention kernel for the serving hot loop.
 
-The generic flash-attention kernel (jax.experimental.pallas.ops.tpu) runs at
-~13-16 TF/s on the dominant DiT serving shape (b=2, h=16, n=1024, d=64):
-ablation (`benchmarks/ablate_forward.py`) showed the attention path taking ~50%
-of an 11.2 ms forward. Two causes: per-program fixed overhead (~3-8 us) across
-a b*h*nq grid of tiny programs, and online-softmax machinery that is
-unnecessary when the WHOLE key/value sequence fits in VMEM (n<=4096: K+V = 1 MB
-bf16 per head at d=64).
-
-This kernel computes, per (batch, head-block, q-block) program:
+When the whole key/value sequence fits in VMEM (n <= 4096: K+V = 1 MB bf16 per
+head at d=64) online-softmax machinery is unnecessary; each program computes
 
     S = Q K^T  ->  mask padded keys  ->  softmax rows  ->  P V
 
-for ``hb`` heads at once (fewer, fatter programs), with no running (max, sum)
-carries. Key padding is expressed as per-sample valid lengths compared against
+directly. Key padding is expressed as per-sample valid lengths compared against
 an iota — the model's masks are always contiguous prefixes
 (`ops/masks.py lens_to_mask`).
+
+Two variants, measured on v5e with slope timing (`benchmarks/attn_sweep.py`,
+b=2 h=16 n=1024 d=64; the tunnel RTT makes naive per-call timing meaningless):
+
+- ``headloop`` (default): per-head 2-D matmuls with a fat M = q-block under a
+  static head unroll — 118 us (73 TF/s, vs ~98 ceiling for d=64 contractions)
+  against 141 us for the best generic flash config. Rotary can be FUSED into
+  the kernel (q/k rotated on VMEM-resident blocks), replacing ~56 us/layer of
+  HBM-level elementwise rotary that XLA cannot fuse into an opaque pallas call:
+  end-to-end NFE=32 serving went 24.4x -> 25.8x realtime.
+- ``batched``: hb heads in one batched dot_general. Mosaic lowers the batch dim
+  as hb skinny (M=128) matmuls; kept for sweep comparison (it wins at n=2048).
 
 Forward-only (serving); the training path keeps the differentiable flash kernel
 (`ops/attention.py`). Reference semantics: `F.scaled_dot_product_attention`
@@ -114,7 +118,62 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, *rest,
     o_ref[0] = o.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _headloop_kernel(lens_ref, q_ref, k_ref, v_ref, *rest,
+                     scale: float, masked: bool, roped: bool, hb: int):
+    """Per-head 2-D matmuls (fat M = q block) under a static head unroll —
+    avoids the batched-dim dot_general of :func:`_kernel`, which Mosaic lowers
+    as hb skinny matmuls, and lets one head's VPU softmax overlap the next
+    head's MXU matmul."""
+    if roped:
+        cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
+    if masked:
+        length = lens_ref[pl.program_id(0)]
+    for hi in range(hb):
+        qh = q_ref[0, hi]  # [bq, d]
+        kh = k_ref[0, hi]  # [n, d]
+        if roped:
+            qh = _rotate(qh, cosq_ref[...], sinq_ref[...]).astype(q_ref.dtype)
+            kh = _rotate(kh, cosk_ref[...], sink_ref[...]).astype(k_ref.dtype)
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # [bq, n]
+        if masked:
+            kpos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(kpos < length, s, _NEG)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+        p = p * pl.reciprocal(denom, approx=False)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, hi], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bq, d]
+        o_ref[0, hi] = o.astype(o_ref.dtype)
+
+
+def _headloop_blocks(n: int, h: int, d: int) -> tuple[int, int]:
+    """(head block, q block) for the headloop variant.
+
+    Measured on v5e (`benchmarks/attn_sweep.py`, slope timing): fat q blocks
+    win — (8, 1024) hits 73 TF/s at n=1024 vs 61 for the tuned flash config —
+    until the fp32 logits tile + hb heads of K/V overflow VMEM (~10 MB usable;
+    14 MB fails to compile). hb=8 beats hb=16 (more pipelining headroom)."""
+    hb0 = next((c for c in (8, 4, 2, 1) if h % c == 0), 1) if h > 8 else h
+    for hb in (hb0, hb0 // 2, hb0 // 4):
+        if not hb or h % hb:
+            continue
+        for bq in (1024, 512, 384, 256, 128):
+            if n % bq:
+                continue
+            vmem = hb * n * d * 2 * 2 + 2 * hb * bq * d * 2 + bq * n * 4
+            if vmem <= 10 * 1024 * 1024:
+                return hb, bq
+    return _blocks(n, h)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "variant", "blocks"))
 def serving_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -122,16 +181,27 @@ def serving_attention(
     lens: jnp.ndarray | None = None,
     rope: jnp.ndarray | None = None,
     interpret: bool = False,
+    variant: str = "headloop",
+    blocks: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Softmax attention ``[b, n, h, d] -> [b, n, h, d]`` with optional
     contiguous-prefix key masking (``lens [b]`` valid keys per sample) and
     optional fused rotary (``rope [n, d]`` interleaved-pair angles applied to
     the raw q/k inside the kernel, all heads).
 
+    ``variant``: "headloop" (per-head fat matmuls, default) or "batched"
+    (batched-head dot_general). ``blocks`` overrides the (head block, q block)
+    chooser — the sweep harness' knob.
+
     Requires n % 128 == 0 and d in {64, 128, 256} (the caller dispatches).
     """
     b, n, h, d = q.shape
-    hb, bq = _blocks(n, h)
+    if blocks is not None:
+        hb, bq = blocks
+    elif variant == "headloop":
+        hb, bq = _headloop_blocks(n, h, d)
+    else:
+        hb, bq = _blocks(n, h)
     scale = 1.0 / math.sqrt(d)
     masked = lens is not None
     if lens is None:
@@ -144,7 +214,11 @@ def serving_attention(
     qt, kt, vt = (t.swapaxes(1, 2) for t in (q, k, v))
 
     grid = (b, h // hb, n // bq)
-    kernel = functools.partial(_kernel, scale=scale, masked=masked, roped=roped)
+    if variant == "headloop":
+        kernel = functools.partial(_headloop_kernel, scale=scale, masked=masked,
+                                   roped=roped, hb=hb)
+    else:
+        kernel = functools.partial(_kernel, scale=scale, masked=masked, roped=roped)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),  # lens [b]
         pl.BlockSpec((1, hb, bq, d), lambda bi, hi, qi: (bi, hi, qi, 0),

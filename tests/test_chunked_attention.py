@@ -111,3 +111,39 @@ def test_serving_attention_kernel_matches_reference():
         hb, bq = _blocks(nn, 16)
         assert nn % bq == 0 and 16 % hb == 0
         assert hb * bq * nn <= 1024 * 1024 * 4  # logits tile cap
+
+
+def test_serving_attention_headloop_fused_rope():
+    """Headloop variant with in-kernel rotary == rotate-then-attend reference."""
+    from eraxvif5tts_tpu.ops.rotary import apply_rotary, rotary_freqs
+    from eraxvif5tts_tpu.ops.serving_attention import (
+        _headloop_blocks,
+        serving_attention,
+    )
+
+    b, n, h, d = 2, 256, 4, 64
+    k1, k2, k3 = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(k1, (b, n, h, d))
+    k = jax.random.normal(k2, (b, n, h, d))
+    v = jax.random.normal(k3, (b, n, h, d))
+    lens = jnp.asarray([256, 140])
+    mask = jnp.arange(n)[None, :] < lens[:, None]
+    rope = rotary_freqs(n, d)
+
+    qr = apply_rotary(q.swapaxes(1, 2), rope).swapaxes(1, 2)
+    kr = apply_rotary(k.swapaxes(1, 2), rope).swapaxes(1, 2)
+    ref = attention_reference(qr, kr, v, key_valid=mask)
+
+    for blocks in (None, (4, 128), (2, 256)):
+        out = serving_attention(q, k, v, lens, rope=rope, interpret=True,
+                                variant="headloop", blocks=blocks)
+        diff = np.abs(np.asarray(out - ref)) * np.asarray(mask)[:, :, None, None]
+        assert diff.max() < 1e-5, (blocks, diff.max())
+
+    # chooser: valid divisors and bounded VMEM at every serving bucket
+    for nn in (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096):
+        for hh in (16, 12, 8):
+            hb, bq = _headloop_blocks(nn, hh, 64)
+            assert nn % bq == 0 and hh % hb == 0
+            vmem = hb * nn * 64 * 4 + 2 * hb * bq * 64 * 2 + bq * nn * 4
+            assert vmem <= 10 * 1024 * 1024, (nn, hh, hb, bq, vmem)
