@@ -204,11 +204,14 @@ def load_ecapa_checkpoint(ckpt_path: str) -> dict:
     `utils_eval.py:384-385`: ``torch.load(...)['model']``)."""
     import torch
 
+    import jax
+
     raw = torch.load(ckpt_path, map_location="cpu", weights_only=True)
     sd = raw.get("model", raw) if isinstance(raw, dict) else raw
-    return ecapa_params_from_torch(
+    # device_put once: numpy leaves would re-upload per jitted scoring call
+    return jax.device_put(ecapa_params_from_torch(
         {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
-    )
+    ))
 
 
 def init_random_params(rng: np.random.Generator, feat_dim: int = 1024,

@@ -6,8 +6,12 @@ import numpy as np
 
 # Static sequence buckets so repeated `generate` calls hit cached XLA executables
 # (the reference re-traces nothing because torch is dynamic; on TPU the bucket ladder
-# replaces `max_duration = duration.amax()` at reference `cfm.py:136`).
-DURATION_BUCKETS = (256, 384, 512, 768, 1024, 1536, 2048, 3072, 4096)
+# replaces `max_duration = duration.amax()` at reference `cfm.py:136`). Step ratio
+# <= 1.25 caps padded-frame waste at 20% (e.g. an 11 s request landing on 1536 was
+# 49% padding before 1280 existed); every bucket is a multiple of 128 so the
+# serving attention kernel applies.
+DURATION_BUCKETS = (256, 384, 512, 640, 768, 896, 1024, 1280, 1536, 1792,
+                    2048, 2560, 3072, 3584, 4096)
 TEXT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
 

@@ -99,7 +99,8 @@ def load_vocoder(vocoder_name: str = "vocos", is_local: bool = False,
         params = vocos_params_from_torch(load_state_dict(local_path))
     else:
         params = jax.jit(vocoder.init)(jax.random.key(0), jnp.zeros((1, 100, 8)))["params"]
-    return vocoder, params
+    # imported leaves are host numpy; make them device-resident once
+    return vocoder, jax.device_put(params)
 
 
 def load_model(model_cls_name, model_cfg: dict, ckpt_path: str, vocab_file: str = "",

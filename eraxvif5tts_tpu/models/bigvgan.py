@@ -338,6 +338,9 @@ def load_bigvgan(ckpt_path: str, config: BigVGANConfig | None = None) -> tuple[B
     """Load `bigvgan_generator.pt` (HF nvidia/bigvgan_* layout)."""
     import torch
 
+    import jax
+
     raw = torch.load(ckpt_path, map_location="cpu", weights_only=True)
     model = BigVGAN(config or BigVGANConfig())
-    return model, bigvgan_params_from_torch(raw, model.config)
+    # device_put once: numpy leaves would re-upload per jitted decode call
+    return model, jax.device_put(bigvgan_params_from_torch(raw, model.config))

@@ -161,11 +161,13 @@ def _headloop_blocks(n: int, h: int, d: int) -> tuple[int, int]:
     until the fp32 logits tile + hb heads of K/V overflow VMEM (~10 MB usable;
     14 MB fails to compile). hb=8 beats hb=16 (more pipelining headroom)."""
     hb0 = next((c for c in (8, 4, 2, 1) if h % c == 0), 1) if h > 8 else h
-    for hb in (hb0, hb0 // 2, hb0 // 4):
-        if not hb or h % hb:
+    # fat q blocks first (M = bq drives MXU utilization), then as many heads per
+    # program as VMEM allows
+    for bq in range(min(n, 1024), 127, -128):
+        if n % bq:
             continue
-        for bq in (1024, 512, 384, 256, 128):
-            if n % bq:
+        for hb in (hb0, hb0 // 2, hb0 // 4):
+            if not hb or h % hb:
                 continue
             vmem = hb * n * d * 2 * 2 + 2 * hb * bq * d * 2 + bq * n * 4
             if vmem <= 10 * 1024 * 1024:

@@ -78,9 +78,13 @@ def main(argv=None):
     )
     teacher = build_backbone(teacher_cfg, text_num_embeds=teacher_vocab)
     student = build_backbone(student_cfg, text_num_embeds=teacher_vocab)
-    teacher_params = backbone_params_from_torch(
+    import jax
+
+    # device_put once — numpy leaves would re-upload the whole frozen teacher
+    # (~670 MB) to the device on EVERY distillation step
+    teacher_params = jax.device_put(backbone_params_from_torch(
         teacher_sd, "DiT", depth=teacher_depth, conv_layers=base.arch.conv_layers
-    )
+    ))
 
     cfm = CFM.build(student, student_cfg.mel_spec)
     dataset = load_dataset(args.dataset_name, args.tokenizer, data_dir=args.data_dir)

@@ -448,7 +448,11 @@ class Trainer:
                        "align_coverage": coverage, "align_diagonal": diagonal,
                        "duration_weight": dur_weight,
                        "grad_norm": main_grad_norm,
-                       "applied": main_applied.astype(jnp.float32)}
+                       "applied": main_applied.astype(jnp.float32),
+                       # per-token MAS target durations — consumed by the
+                       # alignment-viz JSON dump (reference `trainer.py:1272-1277`),
+                       # stripped from scalar logging in train()
+                       "align_durations": durs}
             return new_state, metrics
 
         return jax.jit(step_fn, donate_argnums=(0,))
@@ -618,8 +622,14 @@ class Trainer:
                 step = self._host_step
                 at_update = batch_idx % k == 0
                 if at_update and step % log_every == 0:
-                    scalars = {kk: float(v) for kk, v in metrics.items()}
+                    scalars = {kk: float(v) for kk, v in metrics.items()
+                               if getattr(v, "ndim", 0) == 0}
                     self._host_step = step = int(state.step)  # re-sync after NaN skips
+                    if (self.checkpoint_dir and "align_durations" in metrics
+                            and step % (log_every * 5) == 0):
+                        # alignment visualization dump, reference `trainer.py:1272-1277`
+                        self._dump_alignment_viz(
+                            step, metrics["align_durations"], batch, scalars)
                     if "align_coverage" in scalars:
                         self._last_quality = (
                             scalars["align_coverage"], scalars["align_diagonal"]
@@ -685,6 +695,35 @@ class Trainer:
             meta["dur_weight"] = {"ema_cov": s.ema_cov, "ema_diag": s.ema_diag,
                                   "prev_weight": s.prev_weight, "phase": s.phase}
         return meta
+
+    def _dump_alignment_viz(self, step: int, durations, batch: dict,
+                            scalars: dict) -> None:
+        """Write the periodic alignment snapshot the reference dumps as JSON
+        (`trainer.py:1272-1277`): per-token MAS target durations for the first
+        batch samples plus the device-side quality scalars."""
+        out_dir = os.path.join(self.checkpoint_dir, "alignments")
+        os.makedirs(out_dir, exist_ok=True)
+        durs = np.asarray(durations)
+        phon = np.asarray(batch.get("phoneme")) if batch.get("phoneme") is not None else None
+        viz = {
+            "update": step,
+            "method": self.alignment_manager.current_method
+            if self.alignment_manager is not None else None,
+            "coverage": scalars.get("align_coverage"),
+            "diagonal": scalars.get("align_diagonal"),
+            "duration_weight": scalars.get("duration_weight"),
+            "samples": [
+                {
+                    "durations": durs[i].tolist(),
+                    "phoneme_ids": phon[i].tolist() if phon is not None else None,
+                    "mel_len": int(batch["lens"][i]),
+                }
+                for i in range(min(2, durs.shape[0]))
+            ],
+        }
+        with open(os.path.join(out_dir, f"alignment_{step}.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump(viz, f, ensure_ascii=False)
 
     def restore_meta(self, meta: dict) -> tuple[int, int]:
         """Re-arm curriculum state machines from a checkpoint's sidecar; returns

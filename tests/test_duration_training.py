@@ -95,3 +95,23 @@ def test_collate_emits_phoneme_ids():
     assert out["phoneme"][0, 0] == phoneme_map["a"]
     assert out["phoneme"][1, 1] == 0  # padding
     assert len(phoneme_map) == 4  # a, b, ab, c
+
+
+def test_alignment_viz_dump(tmp_path):
+    """train() writes the periodic alignment JSON snapshot when duration
+    training is active (reference `trainer.py:1272-1277`)."""
+    import json
+    import os
+
+    trainer = _trainer(focus_updates=100)
+    trainer.checkpoint_dir = str(tmp_path)
+    state = trainer.init_state(jax.random.key(0))
+    batches = [_batch() for _ in range(5)]  # dump cadence is log_every * 5
+    trainer.train(state, batches, jax.random.key(1), log_every=1,
+                  save_per_updates=0)
+    files = os.listdir(tmp_path / "alignments")
+    assert files, "no alignment viz dumped"
+    viz = json.loads((tmp_path / "alignments" / files[0]).read_text())
+    assert viz["samples"] and viz["samples"][0]["durations"]
+    assert viz["samples"][0]["mel_len"] == 16
+    assert viz["coverage"] is not None
