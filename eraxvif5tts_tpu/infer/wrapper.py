@@ -97,6 +97,7 @@ class F5TTSWrapper:
         model_cfg: Optional[ModelConfig] = None,
         duration_buckets: tuple[int, ...] = DURATION_BUCKETS,
         text_buckets: tuple[int, ...] = TEXT_BUCKETS,
+        mesh: Optional["jax.sharding.Mesh"] = None,
     ):
         # "custom" model names are yaml paths (reference `f5tts_wrapper.py:128-131`)
         if model_cfg is not None:
@@ -168,8 +169,15 @@ class F5TTSWrapper:
         # Imported checkpoints arrive as HOST numpy leaves; without an explicit
         # device_put every jitted call re-uploads all ~670 MB of weights through
         # the device link (measured 7 s/call through the axon tunnel vs 0.5 s
-        # once resident).
-        self.params = jax.device_put(self.params)
+        # once resident). With a mesh, shard them instead (TP rules when the
+        # mesh has a model axis > 1, else replicated).
+        self.mesh = mesh
+        if mesh is not None:
+            from eraxvif5tts_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(mesh, self.params)
+        else:
+            self.params = jax.device_put(self.params)
 
         self.vocoder = Vocos(
             input_channels=cfg.mel_spec.n_mel_channels,
@@ -184,7 +192,13 @@ class F5TTSWrapper:
             self.vocoder_params = jax.jit(self.vocoder.init)(
                 jax.random.key(1), jnp.zeros((1, cfg.mel_spec.n_mel_channels, 8))
             )["params"]
-        self.vocoder_params = jax.device_put(self.vocoder_params)
+        if mesh is not None:
+            from eraxvif5tts_tpu.parallel.mesh import replicated
+
+            self.vocoder_params = jax.device_put(self.vocoder_params,
+                                                 replicated(mesh))
+        else:
+            self.vocoder_params = jax.device_put(self.vocoder_params)
 
         self.duration_predictor = None
         self.duration_predictor_params = None
@@ -432,17 +446,40 @@ class F5TTSWrapper:
         text_bucket = pick_bucket(max(len(t) for t in token_lists), self.text_buckets)
         text_ids = list_str_to_idx(token_lists, self.vocab_char_map, pad_to=text_bucket)
         b = len(texts)
-        cond = jnp.broadcast_to(ref.mel, (b,) + ref.mel.shape[1:])
+
+        # Multi-chip serving: pad the batch to a multiple of the data axis and
+        # shard the batched inputs over it — GSPMD partitions the whole fused
+        # sample+vocode jit (one utterance per chip slice, collectives only if
+        # tensor parallelism is also on). Beyond the reference, which threads
+        # chunks on one device (`utils_infer.py:510-517`).
+        n_data = self.mesh.shape.get("data", 1) if self.mesh is not None else 1
+        bp = b + (-b) % n_data
+        text_arr = np.full((bp, text_bucket), -1, np.int32)
+        text_arr[:b] = np.asarray(text_ids)
+        dur_arr = np.full((bp,), ref.n_frames + 1, np.int32)
+        dur_arr[:b] = [min(d, bucket) for d in durations]
+        lens_arr = np.full((bp,), ref.n_frames, np.int32)
+        cond = jnp.broadcast_to(ref.mel, (bp,) + ref.mel.shape[1:])
 
         key = jax.random.key(seed if seed is not None else _random.randrange(2**31))
         rms_scale = ref.rms / self.target_rms if 0 < ref.rms < self.target_rms else 1.0
+        if self.mesh is not None:
+            from eraxvif5tts_tpu.parallel.mesh import batch_sharding
+
+            bs = batch_sharding(self.mesh)
+            cond = jax.device_put(cond, bs)
+            text_in = jax.device_put(text_arr, bs)
+            dur_in = jax.device_put(dur_arr, bs)
+            lens_in = jax.device_put(lens_arr, bs)
+        else:
+            text_in, dur_in, lens_in = map(jnp.asarray, (text_arr, dur_arr, lens_arr))
         pcm, _ = self._sample_vocode_jit(
             self.params,
             self.vocoder_params,
             cond,
-            jnp.asarray(text_ids),
-            jnp.asarray([min(d, bucket) for d in durations]),
-            jnp.full((b,), ref.n_frames),
+            text_in,
+            dur_in,
+            lens_in,
             key,
             jnp.asarray(rms_scale, jnp.float32),
             steps=nfe_step,
