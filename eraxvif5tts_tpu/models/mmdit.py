@@ -139,7 +139,8 @@ class JointAttention(nn.Module):
         x_out, c_out = out[:, :n], out[:, n:]
 
         x_out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(x_out)
-        x_out = nn.Dropout(self.dropout)(x_out, deterministic=deterministic)
+        if not deterministic and self.dropout > 0.0:
+            x_out = hash_dropout(x_out, self.dropout, self.make_rng("dropout"))
         if not self.context_pre_only:
             c_out = nn.Dense(self.dim, dtype=self.dtype, name="to_out_c")(c_out)
         if mask is not None:

@@ -24,6 +24,7 @@ from eraxvif5tts_tpu.ops.attention import (
     dot_product_attention,
     use_serving_kernel,
 )
+from eraxvif5tts_tpu.ops.dropout import hash_dropout
 from eraxvif5tts_tpu.ops.rotary import apply_rotary
 
 
@@ -254,7 +255,11 @@ class FeedForward(nn.Module):
         inner = int(self.dim * self.mult)
         x = nn.Dense(inner, dtype=self.dtype, name="project_in")(x)
         x = nn.gelu(x, approximate=True)
-        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        if not deterministic and self.dropout > 0.0:
+            # position-hash dropout: jax.random bernoulli at this granularity
+            # (75M elements/layer, regenerated under remat) costs seconds/step
+            # on v5e (`ops/dropout.py`)
+            x = hash_dropout(x, self.dropout, self.make_rng("dropout"))
         return nn.Dense(self.dim_out or self.dim, dtype=self.dtype, name="project_out")(x)
 
 
@@ -314,13 +319,29 @@ class Attention(nn.Module):
                 k = apply_rotary(k.swapaxes(1, 2), rope).swapaxes(1, 2)
 
         if not deterministic and self.dropout > 0.0:
-            # Train path with attention-weight dropout: chunked online-softmax
-            # attention with in-kernel dropout, matching SDPA(dropout_p=0.1)
-            # (`modules.py:490`) without materializing the [b,h,n,n] weights.
-            out = chunked_dot_product_attention(
-                q, k, v, key_valid=mask, dropout_rate=self.dropout,
-                dropout_rng=self.make_rng("dropout"),
+            # Train path with attention-weight dropout matching
+            # SDPA(dropout_p=0.1) (`modules.py:490`). On TPU: the flash kernel
+            # with POSITION-HASH dropout generated inside the kernel
+            # (`ops/train_attention.py`) — jax.random Bernoulli at this
+            # granularity measures 1.3 Gelem/s on v5e, ~40 s/step of PRNG at
+            # the 38,400-frame batch budget. Elsewhere: chunked online-softmax
+            # attention (never materializes the [b,h,n,n] weights).
+            from eraxvif5tts_tpu.ops.attention import _on_tpu
+            from eraxvif5tts_tpu.ops.train_attention import (
+                can_use_train_kernel,
+                train_attention,
             )
+
+            if _on_tpu() and can_use_train_kernel(n, self.dim_head):
+                out = train_attention(
+                    q, k, v, key_valid=mask, dropout_rate=self.dropout,
+                    dropout_rng=self.make_rng("dropout"),
+                )
+            else:
+                out = chunked_dot_product_attention(
+                    q, k, v, key_valid=mask, dropout_rate=self.dropout,
+                    dropout_rng=self.make_rng("dropout"),
+                )
         else:
             # dropout-free training differentiates the Pallas flash kernel
             # (backward blocks configured); inference uses the one-shot serving
@@ -332,7 +353,8 @@ class Attention(nn.Module):
 
         out = out.reshape(b, n, inner)
         out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
-        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        if not deterministic and self.dropout > 0.0:
+            out = hash_dropout(out, self.dropout, self.make_rng("dropout"))
         if mask is not None:
             out = jnp.where(mask[..., None], out, 0.0)
         return out

@@ -262,18 +262,19 @@ class DistillTrainer:
         return jax.jit(step_fn, donate_argnums=(0,))
 
     def train_step(self, state: TrainState, teacher_params, batch: dict, rng: jax.Array):
+        # Host arrays go straight into the jit: its dispatch path ingests them
+        # far faster than an eager jnp.asarray/device_put (measured 0.6 s vs
+        # 106 s for a 15 MB batch through the v5e tunnel).
         if self.duration_predictor is not None and batch.get("attn") is not None:
             if self._dur_step is None:
                 self._dur_step = self._build_dur()
-            return self._dur_step(state, teacher_params,
-                                  jnp.asarray(batch["mel"]), jnp.asarray(batch["text"]),
-                                  jnp.asarray(batch["lens"]), jnp.asarray(batch["attn"]),
+            return self._dur_step(state, teacher_params, batch["mel"],
+                                  batch["text"], batch["lens"], batch["attn"],
                                   rng)
         if self._step is None:
             self._step = self._build()
-        return self._step(state, teacher_params,
-                          jnp.asarray(batch["mel"]), jnp.asarray(batch["text"]),
-                          jnp.asarray(batch["lens"]), rng)
+        return self._step(state, teacher_params, batch["mel"], batch["text"],
+                          batch["lens"], rng)
 
     # ------------------------------------------------------------------
     # checkpointing (shared primitives with the main Trainer)

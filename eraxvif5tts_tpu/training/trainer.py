@@ -498,11 +498,21 @@ class Trainer:
             self.duration_predictor is not None and batch.get("phoneme") is not None
         )
         batch = self._pad_batch(batch)
+        # Single-device mesh: hand host arrays straight to the jit — its C++
+        # dispatch ingests them far faster than an explicit device_put (measured
+        # on the v5e tunnel: 0.6 s vs 4.4 s sharded / 106 s plain device_put for
+        # a 15 MB mel batch; per-step device_put made the train step 126 s vs
+        # 2 s of compute). Multi-device meshes still need the sharded put so
+        # each device receives only its shard.
+        single = self.mesh.devices.size == 1
         with jax.sharding.use_mesh(self.mesh) if hasattr(jax.sharding, "use_mesh") else _nullcontext():
             bs = batch_sharding(self.mesh)
-            mel = jax.device_put(batch["mel"], bs)
-            text = jax.device_put(batch["text"], bs)
-            lens = jax.device_put(batch["lens"], bs)
+            if single:
+                mel, text, lens = batch["mel"], batch["text"], batch["lens"]
+            else:
+                mel = jax.device_put(batch["mel"], bs)
+                text = jax.device_put(batch["text"], bs)
+                lens = jax.device_put(batch["lens"], bs)
             if not use_duration:
                 if self._step_fn is None:
                     self._step_fn = self._build_step()
@@ -539,7 +549,7 @@ class Trainer:
                 self._mel_proj = jnp.asarray(
                     make_mel_proj_matrix(batch["mel"].shape[-1], embed_dim)
                 )
-            phoneme = jax.device_put(batch["phoneme"], bs)
+            phoneme = batch["phoneme"] if single else jax.device_put(batch["phoneme"], bs)
             return self._dur_step_fns[key](
                 state, mel, text, lens, phoneme, self._mel_proj,
                 jnp.asarray(weight, jnp.float32), rng,

@@ -1,0 +1,97 @@
+"""Flash training attention with in-kernel position-hash dropout
+(`ops/train_attention.py`), exercised in interpret mode against a dense oracle
+that uses the *same* hash mask — the dropout path is exactly checkable, not
+just statistically (reference semantics: SDPA dropout_p, `modules.py:490`)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from eraxvif5tts_tpu.ops.train_attention import (
+    dense_reference,
+    dropout_keep_mask,
+    train_attention,
+)
+
+B, N, H, D = 2, 256, 4, 64
+
+
+def _inputs():
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (B, N, H, D))
+    k = jax.random.normal(k2, (B, N, H, D))
+    v = jax.random.normal(k3, (B, N, H, D))
+    lens = jnp.asarray([N, 150])
+    mask = jnp.arange(N)[None, :] < lens[:, None]
+    return q, k, v, mask
+
+
+def test_fwd_matches_dense_no_dropout():
+    q, k, v, mask = _inputs()
+    out = train_attention(q, k, v, key_valid=mask, interpret=True)
+    ref = dense_reference(q, k, v, key_valid=mask)
+    diff = np.abs(np.asarray(out - ref)) * np.asarray(mask)[:, :, None, None]
+    assert diff.max() < 2e-6
+
+
+def test_fwd_and_grads_match_dense_with_dropout():
+    q, k, v, mask = _inputs()
+    rng = jax.random.key(7)
+    seed = 7  # key_data(key(7)) == [0, 7]; kernel folds kd[0] ^ kd[-1]
+
+    out = train_attention(q, k, v, key_valid=mask, dropout_rate=0.1,
+                          dropout_rng=rng, interpret=True)
+    ref = dense_reference(q, k, v, key_valid=mask, dropout_rate=0.1, seed=seed)
+    diff = np.abs(np.asarray(out - ref)) * np.asarray(mask)[:, :, None, None]
+    assert diff.max() < 2e-6
+
+    def loss_k(q, k, v):
+        o = train_attention(q, k, v, key_valid=mask, dropout_rate=0.1,
+                            dropout_rng=rng, interpret=True)
+        return jnp.sum(jnp.where(mask[:, :, None, None], o, 0.0) ** 2)
+
+    def loss_d(q, k, v):
+        o = dense_reference(q, k, v, key_valid=mask, dropout_rate=0.1, seed=seed)
+        return jnp.sum(jnp.where(mask[:, :, None, None], o, 0.0) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_d, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gk, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+    # padded keys receive zero dk/dv
+    assert np.abs(np.asarray(gk[1])[1, 150:]).max() == 0.0
+    assert np.abs(np.asarray(gk[2])[1, 150:]).max() == 0.0
+
+
+def test_hash_mask_block_invariance_and_rate():
+    """The mask depends only on (seed, positions) — any block decomposition
+    reproduces the same bits (what makes bwd regeneration sound) — and keeps
+    ~keep of the elements."""
+    whole = dropout_keep_mask(9, 1, 3, 0, 0, 256, 256, 256, 0.9)
+    block = dropout_keep_mask(9, 1, 3, 128, 64, 64, 128, 256, 0.9)
+    np.testing.assert_array_equal(np.asarray(whole)[128:192, 64:192],
+                                  np.asarray(block))
+    frac = float(np.mean(np.asarray(whole)))
+    assert 0.88 < frac < 0.92
+
+    # different (seed | batch | head) decorrelate
+    for other in (dropout_keep_mask(10, 1, 3, 0, 0, 256, 256, 256, 0.9),
+                  dropout_keep_mask(9, 2, 3, 0, 0, 256, 256, 256, 0.9),
+                  dropout_keep_mask(9, 1, 4, 0, 0, 256, 256, 256, 0.9)):
+        agree = float(np.mean(np.asarray(whole) == np.asarray(other)))
+        assert agree < 0.85  # ~0.82 expected for independent keep=0.9 masks
+
+
+def test_seed_determinism():
+    q, k, v, mask = _inputs()
+    rng = jax.random.key(3)
+    a = train_attention(q, k, v, key_valid=mask, dropout_rate=0.2,
+                        dropout_rng=rng, interpret=True)
+    b = train_attention(q, k, v, key_valid=mask, dropout_rate=0.2,
+                        dropout_rng=rng, interpret=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    c = train_attention(q, k, v, key_valid=mask, dropout_rate=0.2,
+                        dropout_rng=jax.random.key(4), interpret=True)
+    assert np.abs(np.asarray(a - c)).max() > 1e-3

@@ -252,3 +252,29 @@ def test_duration_weight_scheduler():
     for i in range(200):
         w = sch.step(i, 0.9, 0.9, 9, 100)
     assert w < 1.0  # decayed over steps
+
+
+def test_train_step_single_device_mesh():
+    """Single-device mesh hands host arrays straight to the jit (the TPU fast
+    path for batch ingestion); step must match the multi-device behavior."""
+    from eraxvif5tts_tpu.configs import ArchConfig
+    from eraxvif5tts_tpu.models.cfm import CFM
+    from eraxvif5tts_tpu.models.dit import DiT
+    from eraxvif5tts_tpu.parallel.mesh import make_mesh
+    from eraxvif5tts_tpu.training.trainer import Trainer, make_optimizer
+
+    arch = ArchConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2,
+                      text_dim=16, conv_layers=0, dropout=0.0)
+    cfm = CFM(transformer=DiT(arch=arch, text_num_embeds=8, mel_dim=8))
+    mesh1 = make_mesh(n_data=1, n_model=1, devices=jax.devices()[:1])
+    trainer = Trainer(cfm=cfm, optimizer=make_optimizer(total_updates=10),
+                      mesh=mesh1)
+    state = trainer.init_state(jax.random.key(0))
+    batch = {
+        "mel": np.zeros((2, 16, 8), np.float32),
+        "text": np.asarray([[1, 2, -1], [2, 1, -1]], np.int32),
+        "lens": np.asarray([16, 12], np.int32),
+    }
+    state, metrics = trainer.train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
