@@ -162,15 +162,26 @@ def _headloop_blocks(n: int, h: int, d: int) -> tuple[int, int]:
     14 MB fails to compile). hb=8 beats hb=16 (more pipelining headroom)."""
     hb0 = next((c for c in (8, 4, 2, 1) if h % c == 0), 1) if h > 8 else h
     # fat q blocks first (M = bq drives MXU utilization), then as many heads per
-    # program as VMEM allows
+    # program as VMEM allows. Estimate calibrated against Mosaic scoped-vmem
+    # failures: K/V double-buffer across the head grid dim, logits tile on
+    # stack, rope tables always budgeted (fused-rope worst case) —
+    # (4,256)@n=4096+rope reported 17 MB (est 17.25, fails), (8,1024)@1024+rope
+    # compiles (est 13).
     for bq in range(min(n, 1024), 127, -128):
         if n % bq:
             continue
-        for hb in (hb0, hb0 // 2, hb0 // 4):
+        for hb in (hb0, hb0 // 2, hb0 // 4, 1):
             if not hb or h % hb:
                 continue
-            vmem = hb * n * d * 2 * 2 + 2 * hb * bq * d * 2 + bq * n * 4
-            if vmem <= 10 * 1024 * 1024:
+            kv = hb * n * d * 2 * 2
+            q_blk = hb * bq * d * 2
+            vmem = (2 * kv            # K+V, double-buffered
+                    + 2 * n * d * 4   # cos_k/sin_k fp32
+                    + bq * n * 4      # fp32 logits tile
+                    + 2 * q_blk       # q, double-buffered
+                    + q_blk           # output block
+                    + 2 * bq * d * 4)  # cos_q/sin_q
+            if vmem <= 13 * 1024 * 1024:
                 return hb, bq
     return _blocks(n, h)
 
