@@ -38,11 +38,20 @@ def build(smoke: bool, dtype: str):
             arch=dataclasses.replace(cfg.arch, dim=64, depth=2, heads=2, dim_head=32,
                                      text_dim=32, conv_layers=1),
         )
-    cdtype = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
+    cdtype = jnp.bfloat16 if dtype in ("bfloat16", "int8") else jnp.float32
     dit = DiT(arch=cfg.arch, text_num_embeds=2546, mel_dim=cfg.mel_spec.n_mel_channels,
               compute_dtype=cdtype)
     cfm = CFM.build(dit, cfg.mel_spec)
     params = cfm.init_params(jax.random.key(0))
+    if dtype == "int8":
+        # opt-in W8A8 serving: block matmuls int8 (3.6x GEMM rate on v5e)
+        from eraxvif5tts_tpu.ops.quant import quantize_params
+
+        qarch = dataclasses.replace(cfg.arch, quantized=True)
+        dit = DiT(arch=qarch, text_num_embeds=2546,
+                  mel_dim=cfg.mel_spec.n_mel_channels, compute_dtype=cdtype)
+        cfm = CFM.build(dit, cfg.mel_spec)
+        params = quantize_params(params)
     vocoder = Vocos(
         input_channels=cfg.mel_spec.n_mel_channels,
         n_fft=cfg.mel_spec.n_fft,
@@ -65,7 +74,8 @@ def main():
     ap.add_argument("--bucket", type=int, default=None, help="total mel frames")
     ap.add_argument("--ref-frames", type=int, default=None)
     ap.add_argument("--iters", type=int, default=5)
-    ap.add_argument("--dtype", default="bfloat16", choices=["float32", "bfloat16"])
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["float32", "bfloat16", "int8"])
     args = ap.parse_args()
 
     import jax

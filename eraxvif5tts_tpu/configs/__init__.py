@@ -42,6 +42,9 @@ class ArchConfig:
     long_skip_connection: bool = False
     checkpoint_activations: bool = False
     dropout: float = 0.1
+    # int8 W8A8 serving for the block matmuls (opt-in, TPU-first extension:
+    # params must be pre-quantized via ops/quant.quantize_params)
+    quantized: bool = False
 
 
 @dataclass(frozen=True)

@@ -139,12 +139,17 @@ class F5TTSWrapper:
         else:
             text_num_embeds = len(self.vocab_char_map) if self.vocab_char_map else 256
 
-        self.config = cfg
         import jax.numpy as _jnp
 
         from eraxvif5tts_tpu.models import build_backbone
 
-        cdtype = _jnp.bfloat16 if compute_dtype == "bfloat16" else _jnp.float32
+        if compute_dtype == "int8":
+            # int8 W8A8 serving (opt-in): block matmuls quantized, everything
+            # else bf16. 3.6x GEMM throughput on v5e (`benchmarks/quant_probe.py`).
+            cfg = dataclasses.replace(
+                cfg, arch=dataclasses.replace(cfg.arch, quantized=True))
+        self.config = cfg
+        cdtype = _jnp.bfloat16 if compute_dtype in ("bfloat16", "int8") else _jnp.float32
         self.transformer = build_backbone(cfg, text_num_embeds, compute_dtype=cdtype)
         self.cfm = CFM.build(self.transformer, cfg.mel_spec)
         self.mel_spec = self.cfm.mel_spec
@@ -163,8 +168,24 @@ class F5TTSWrapper:
                 long_skip=cfg.arch.long_skip_connection,
             )
         else:
-            self.params = self.cfm.init_params(jax.random.key(0))
-        if compute_dtype == "bfloat16":
+            if compute_dtype == "int8":
+                # init an fp32 twin to produce real (non-zero) kernels, then
+                # quantize below (QuantDense's own init is int8 zeros)
+                fp_cfg = dataclasses.replace(
+                    cfg, arch=dataclasses.replace(cfg.arch, quantized=False))
+                fp_tf = build_backbone(fp_cfg, text_num_embeds, compute_dtype=cdtype)
+                self.params = CFM.build(fp_tf, cfg.mel_spec).init_params(jax.random.key(0))
+            else:
+                self.params = self.cfm.init_params(jax.random.key(0))
+        if compute_dtype == "int8" and params is None:
+            from eraxvif5tts_tpu.ops.quant import quantize_params
+
+            self.params = quantize_params(self.params)
+            self.params = jax.tree.map(
+                lambda p: p.astype(cdtype) if p.dtype == jnp.float32 and p.ndim > 1 else p,
+                self.params,
+            )  # bf16 for the remaining fp matrices; scales/biases stay fp32
+        elif compute_dtype == "bfloat16":
             self.params = jax.tree.map(lambda p: p.astype(cdtype), self.params)
         # Imported checkpoints arrive as HOST numpy leaves; without an explicit
         # device_put every jitted call re-uploads all ~670 MB of weights through

@@ -150,6 +150,7 @@ class DiT(nn.Module):
                 qk_norm=a.qk_norm,
                 pe_attn_head=a.pe_attn_head,
                 dtype=self.compute_dtype,
+                quantized=a.quantized,
                 name=f"block_{i}",
             )
             for i in range(a.depth)

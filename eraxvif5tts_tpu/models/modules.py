@@ -241,6 +241,16 @@ class AdaLayerNormFinal(nn.Module):
         return normed * (1 + scale[:, None]) + shift[:, None]
 
 
+def _dense(quantized: bool):
+    """nn.Dense, or the int8 serving variant when the block is quantized
+    (`ops/quant.py` — params pre-quantized by ``quantize_params``)."""
+    if quantized:
+        from eraxvif5tts_tpu.ops.quant import QuantDense
+
+        return QuantDense
+    return nn.Dense
+
+
 class FeedForward(nn.Module):
     """Linear -> tanh-GELU -> dropout -> Linear (`modules.py:342-353`)."""
 
@@ -249,18 +259,20 @@ class FeedForward(nn.Module):
     dropout: float = 0.1
     dim_out: Optional[int] = None
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         inner = int(self.dim * self.mult)
-        x = nn.Dense(inner, dtype=self.dtype, name="project_in")(x)
+        dense = _dense(self.quantized)
+        x = dense(inner, dtype=self.dtype, name="project_in")(x)
         x = nn.gelu(x, approximate=True)
         if not deterministic and self.dropout > 0.0:
             # position-hash dropout: jax.random bernoulli at this granularity
             # (75M elements/layer, regenerated under remat) costs seconds/step
             # on v5e (`ops/dropout.py`)
             x = hash_dropout(x, self.dropout, self.make_rng("dropout"))
-        return nn.Dense(self.dim_out or self.dim, dtype=self.dtype, name="project_out")(x)
+        return dense(self.dim_out or self.dim, dtype=self.dtype, name="project_out")(x)
 
 
 class Attention(nn.Module):
@@ -274,6 +286,7 @@ class Attention(nn.Module):
     qk_norm: Optional[str] = None
     pe_attn_head: Optional[int] = None
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(
@@ -285,9 +298,10 @@ class Attention(nn.Module):
     ) -> jnp.ndarray:
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
-        q = nn.Dense(inner, dtype=self.dtype, name="to_q")(x).reshape(b, n, self.heads, self.dim_head)
-        k = nn.Dense(inner, dtype=self.dtype, name="to_k")(x).reshape(b, n, self.heads, self.dim_head)
-        v = nn.Dense(inner, dtype=self.dtype, name="to_v")(x).reshape(b, n, self.heads, self.dim_head)
+        dense = _dense(self.quantized)
+        q = dense(inner, dtype=self.dtype, name="to_q")(x).reshape(b, n, self.heads, self.dim_head)
+        k = dense(inner, dtype=self.dtype, name="to_k")(x).reshape(b, n, self.heads, self.dim_head)
+        v = dense(inner, dtype=self.dtype, name="to_v")(x).reshape(b, n, self.heads, self.dim_head)
 
         if self.qk_norm == "rms_norm":
             q = RMSNorm(self.dim_head, name="q_norm")(q)
@@ -352,7 +366,7 @@ class Attention(nn.Module):
                                         rope=rope if fuse_rope else None)
 
         out = out.reshape(b, n, inner)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = dense(self.dim, dtype=self.dtype, name="to_out")(out)
         if not deterministic and self.dropout > 0.0:
             out = hash_dropout(out, self.dropout, self.make_rng("dropout"))
         if mask is not None:
@@ -371,6 +385,7 @@ class DiTBlock(nn.Module):
     qk_norm: Optional[str] = None
     pe_attn_head: Optional[int] = None
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(
@@ -392,13 +407,15 @@ class DiTBlock(nn.Module):
             qk_norm=self.qk_norm,
             pe_attn_head=self.pe_attn_head,
             dtype=self.dtype,
+            quantized=self.quantized,
             name="attn",
         )(norm, mask=mask, rope=rope, deterministic=deterministic)
         x = x + gate_msa[:, None] * attn_out
 
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype, name="ff_norm")(x)
         norm = norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-        ff_out = FeedForward(self.dim, mult=self.ff_mult, dropout=self.dropout, dtype=self.dtype, name="ff")(
+        ff_out = FeedForward(self.dim, mult=self.ff_mult, dropout=self.dropout, dtype=self.dtype,
+                             quantized=self.quantized, name="ff")(
             norm, deterministic=deterministic
         )
         return x + gate_mlp[:, None] * ff_out

@@ -1,9 +1,11 @@
 """Int8 quantized matmul path for serving (OPT-IN, experimental).
 
-v5e's MXU runs int8 x int8 -> int32 at twice the bf16 rate; at the serving
-shape the DiT forward is compute-bound on the projection/FF matmuls
-(BASELINE.md "MFU analysis"), so W8A8 quantization of those matmuls raises the
-RTF ceiling. Scheme:
+v5e's MXU runs int8 x int8 -> int32 faster than bf16, but the advantage is
+shape-dependent: measured (`benchmarks/quant_probe.py`) 1.9x at the FF GEMM
+(M=2048, N=2048) yet only 1.15x at the N=1024 projections, where bf16 is
+already at peak. End-to-end NFE=32 serving: 27.0x vs 26.0x realtime (+4%) at
+b=1 — the win grows with serving batch (GEMM M), so the path stays available
+for batched deployments. Scheme:
 
 - weights: symmetric per-output-channel int8, scales folded from the fp
   checkpoint at load (`quantize_params`);
@@ -45,4 +47,51 @@ def int8_matmul(x: jnp.ndarray, w_q: jnp.ndarray, w_scale: jnp.ndarray,
         (((x.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    return (acc.astype(jnp.float32) * a_scale * w_scale[None, :]).astype(out_dtype)
+    return (acc.astype(jnp.float32) * a_scale * w_scale).astype(out_dtype)
+
+
+import flax.linen as nn  # noqa: E402  (quant is serving-side; flax is a core dep)
+
+
+class QuantDense(nn.Module):
+    """Drop-in replacement for ``nn.Dense`` reading pre-quantized params
+    (``kernel_q`` int8 + ``kernel_scale`` fp32 per output channel, see
+    :func:`quantize_params`)."""
+
+    features: int
+    dtype: object = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        d_in = x.shape[-1]
+        w_q = self.param(
+            "kernel_q", lambda key, shape: jnp.zeros(shape, jnp.int8),
+            (d_in, self.features),
+        )
+        scale = self.param("kernel_scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        y = int8_matmul(x, w_q, scale, out_dtype=self.dtype)
+        return y + bias.astype(self.dtype)
+
+
+_QUANT_SUFFIXES = ("to_q", "to_k", "to_v", "to_out", "project_in", "project_out")
+
+
+def quantize_params(params, suffixes: tuple[str, ...] = _QUANT_SUFFIXES):
+    """Transform an fp param tree for a `quantized=True` backbone: every Dense
+    subtree named in ``suffixes`` has its ``kernel`` replaced by
+    ``kernel_q``/``kernel_scale`` (what :class:`QuantDense` reads). Pure; run
+    once at load — inline per-call quantization is NOT hoisted out of the Euler
+    scan by XLA (measured: 30 us vs 13.7 us per GEMM)."""
+    def walk(tree, name):
+        if isinstance(tree, dict):
+            if name in suffixes and "kernel" in tree:
+                w_q, scale = quantize_weight(jnp.asarray(tree["kernel"]))
+                out = {k: v for k, v in tree.items() if k != "kernel"}
+                out["kernel_q"] = w_q
+                out["kernel_scale"] = scale
+                return out
+            return {k: walk(v, k) for k, v in tree.items()}
+        return tree
+
+    return walk(params, "")

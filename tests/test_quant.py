@@ -1,0 +1,70 @@
+"""Int8 W8A8 serving path (`ops/quant.py`): quantized matmul correctness,
+param-tree transform, and end-to-end DiT output tolerance vs the fp path."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from eraxvif5tts_tpu.configs import ArchConfig
+from eraxvif5tts_tpu.models.dit import DiT
+from eraxvif5tts_tpu.ops.quant import int8_matmul, quantize_params, quantize_weight
+
+ARCH = ArchConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2, text_dim=32,
+                  conv_layers=1, dropout=0.0)
+
+
+def test_int8_matmul_close_to_fp():
+    k1, k2 = jax.random.split(jax.random.key(0))
+    x = jax.random.normal(k1, (64, 128))
+    w = jax.random.normal(k2, (128, 96)) * 0.05
+    w_q, s = quantize_weight(w)
+    assert w_q.dtype == jnp.int8 and s.shape == (96,)
+    y = np.asarray(int8_matmul(x, w_q, s, out_dtype=jnp.float32))
+    ref = np.asarray(x @ w)
+    # error budget: int8 weights (~0.4% rel) + per-token int8 activations
+    denom = np.abs(ref).max()
+    assert np.abs(y - ref).max() / denom < 0.03
+
+
+def test_quantize_params_targets_only_block_matmuls():
+    dit = DiT(arch=ARCH, text_num_embeds=8, mel_dim=8)
+    x = jnp.zeros((1, 16, 8))
+    cond = jnp.zeros((1, 16, 8))
+    text = jnp.zeros((1, 4), jnp.int32)
+    t = jnp.zeros((1,))
+    fb = jnp.zeros((1,), bool)
+    params = jax.jit(dit.init)(jax.random.key(0), x, cond, text, t, fb, fb)["params"]
+    qparams = quantize_params(params)
+    blk = qparams["block_0"]["attn"]["to_q"]
+    assert "kernel_q" in blk and blk["kernel_q"].dtype == jnp.int8
+    assert "kernel" not in blk
+    # non-targeted Denses untouched
+    assert "kernel" in qparams["block_0"]["attn_norm"]["linear"]
+    assert "kernel" in qparams["proj_out"]
+
+
+def test_quantized_dit_matches_fp_within_tolerance():
+    import dataclasses
+
+    fp = DiT(arch=ARCH, text_num_embeds=8, mel_dim=8)
+    qt = DiT(arch=dataclasses.replace(ARCH, quantized=True),
+             text_num_embeds=8, mel_dim=8)
+    b, n = 2, 32
+    x = jax.random.normal(jax.random.key(1), (b, n, 8))
+    cond = jax.random.normal(jax.random.key(2), (b, n, 8)) * 0.1
+    text = jnp.zeros((b, 8), jnp.int32).at[:, :5].set(jnp.arange(1, 6))
+    t = jnp.full((b,), 0.4)
+    fb = jnp.zeros((b,), bool)
+    mask = jnp.ones((b, n), bool)
+
+    params = jax.jit(fp.init)(jax.random.key(0), x, cond, text, t, fb, fb)["params"]
+    te = fp.apply({"params": params}, text, n, fb, method="embed_text")
+    out_fp = fp.apply({"params": params}, x, cond, te, t, fb, mask, method="run")
+    out_q = qt.apply({"params": quantize_params(params)}, x, cond, te, t, fb,
+                     mask, method="run")
+    a, bq = np.asarray(out_fp), np.asarray(out_q)
+    denom = np.abs(a).max() + 1e-6
+    rel = np.abs(a - bq).max() / denom
+    assert rel < 0.08, rel  # W8A8 on 2 layers: a few percent of full scale
+    assert np.isfinite(bq).all()
