@@ -186,6 +186,54 @@ def _headloop_blocks(n: int, h: int, d: int) -> tuple[int, int]:
     return _blocks(n, h)
 
 
+def _reference_attention(q, k, v, lens, rope):
+    """jnp reference with the kernel's exact semantics — the differentiation
+    surrogate for :func:`serving_attention`'s custom_jvp (materializes the
+    [b, h, n, n] logits; only ever executed if a caller truly differentiates
+    through the serving path)."""
+    from eraxvif5tts_tpu.ops.rotary import apply_rotary
+
+    b, n, h, d = q.shape
+    if rope is not None:
+        q = apply_rotary(q.swapaxes(1, 2), rope).swapaxes(1, 2)
+        k = apply_rotary(k.swapaxes(1, 2), rope).swapaxes(1, 2)
+    s = jnp.einsum("bqhd,bkhd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) / math.sqrt(d)
+    if lens is not None:
+        valid = jnp.arange(n)[None, :] < lens[:, None]
+        s = jnp.where(valid[:, None, None, :], s, _NEG)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v.dtype), v).astype(q.dtype)
+
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(5, 6, 7))
+def _serving_attention(q, k, v, lens, rope, interpret, variant, blocks):
+    return _serving_attention_impl(q, k, v, lens, rope, interpret, variant,
+                                   blocks)
+
+
+@_serving_attention.defjvp
+def _serving_attention_jvp(interpret, variant, blocks, primals, tangents):
+    # The pallas kernel has no JVP rule (pltpu.roll et al). Frozen-teacher
+    # setups (training/distill.py) trace differentiation through a
+    # stop_gradient'd teacher forward — the tangent graph below is dead code
+    # there and gets DCE'd; if a caller really differentiates, the reference
+    # path supplies a correct (memory-heavy) tangent.
+    q, k, v, lens, rope = primals
+    dq, dk, dv = tangents[0], tangents[1], tangents[2]
+    out = _serving_attention_impl(q, k, v, lens, rope, interpret, variant,
+                                  blocks)
+    zeros = jnp.zeros_like
+    dq = dq if not isinstance(dq, jax.custom_derivatives.SymbolicZero) else zeros(q)
+    dk = dk if not isinstance(dk, jax.custom_derivatives.SymbolicZero) else zeros(k)
+    dv = dv if not isinstance(dv, jax.custom_derivatives.SymbolicZero) else zeros(v)
+    _, tangent = jax.jvp(
+        lambda q_, k_, v_: _reference_attention(q_, k_, v_, lens, rope),
+        (q, k, v), (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)),
+    )
+    return out, tangent
+
+
 @functools.partial(jax.jit, static_argnames=("interpret", "variant", "blocks"))
 def serving_attention(
     q: jnp.ndarray,
@@ -207,7 +255,14 @@ def serving_attention(
     chooser — the sweep harness' knob.
 
     Requires n % 128 == 0 and d in {64, 128, 256} (the caller dispatches).
+    Differentiation is supported via a reference-implementation custom_jvp
+    (primarily so stop-gradient'd teacher forwards trace; the training path
+    has its own kernel, `ops/train_attention.py`).
     """
+    return _serving_attention(q, k, v, lens, rope, interpret, variant, blocks)
+
+
+def _serving_attention_impl(q, k, v, lens, rope, interpret, variant, blocks):
     b, n, h, d = q.shape
     if blocks is not None:
         hb, bq = blocks

@@ -202,9 +202,15 @@ class DistillTrainer:
 
         def step_fn(state: TrainState, teacher_params, mel, text, lens, rng):
             def loss_fn(params):
+                # deterministic=False: the student trains in train mode
+                # (attention dropout active, reference distil_reload runs the
+                # student under model.train()), which also keeps the serving
+                # kernel out of the differentiated path — with the default
+                # eval-mode attention the custom_jvp reference tangent
+                # materializes [b,h,n,n] (9 GB at 9x4096) and OOMs HBM.
                 total, metrics = distillation_losses(
                     self.student_cfm, params, self.teacher_transformer, teacher_params,
-                    mel, text, lens, rng, cfg,
+                    mel, text, lens, rng, cfg, deterministic=False,
                 )
                 return total, metrics
 
@@ -227,9 +233,15 @@ class DistillTrainer:
 
         def step_fn(state: TrainState, teacher_params, mel, text, lens, attn, rng):
             def loss_fn(params, dur_params):
+                # deterministic=False: the student trains in train mode
+                # (attention dropout active, reference distil_reload runs the
+                # student under model.train()), which also keeps the serving
+                # kernel out of the differentiated path — with the default
+                # eval-mode attention the custom_jvp reference tangent
+                # materializes [b,h,n,n] (9 GB at 9x4096) and OOMs HBM.
                 total, metrics = distillation_losses(
                     self.student_cfm, params, self.teacher_transformer, teacher_params,
-                    mel, text, lens, rng, cfg,
+                    mel, text, lens, rng, cfg, deterministic=False,
                 )
                 text_lens = jnp.sum(text != -1, axis=-1)
                 d_loss = duration_loss_from_attn(
