@@ -184,3 +184,25 @@ def test_generate_batch(tiny_wrapper):
                       return_numpy=True, use_pinyin=False)
     # same duration heuristic -> same length (values differ only via batch padding)
     assert abs(len(solo) - len(waves[0])) <= w.hop_length
+
+
+def test_unett_wrapper_aligned_buckets():
+    """UNetT wrappers use 128k-1 mel buckets so the packed time token lands the
+    transformer on a 128-aligned sequence (serving-kernel dispatch)."""
+    cfg = ModelConfig(
+        name="tiny-e2",
+        backbone="UNetT",
+        arch=ArchConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2,
+                        text_dim=None, conv_layers=0, dropout=0.0,
+                        text_mask_padding=False, pe_attn_head=1),
+        mel_spec=MelSpecConfig(),
+    )
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!?")}
+    w = F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, nfe_step=2)
+    assert w.duration_buckets[0] % 128 == 127
+    w.preprocess_reference(ref_audio=_make_ref_audio(), ref_sample_rate=SR,
+                           ref_text="hello there")
+    wave = w.generate("a short test.", nfe_step=2, seed=0, return_numpy=True,
+                      use_pinyin=False)
+    assert wave.ndim == 1 and len(wave) > 0
+    assert np.isfinite(wave).all()
