@@ -62,15 +62,26 @@ def make_sample_fn(
             base = os.path.join(out_dir, f"update_{step}_{i}")
             np.save(base + ".npy", mel_np)
             written.append(base + ".npy")
+            from eraxvif5tts_tpu.audio.io import write_wav
+
             if vocoder is not None and vocoder_params is not None:
                 wav = np.asarray(
                     vocoder.apply({"params": vocoder_params},
                                   jnp.asarray(mel_np.T)[None])
                 )[0]
-                from eraxvif5tts_tpu.audio.io import write_wav
-
                 write_wav(base + ".wav", wav.astype(np.float32), sample_rate)
                 written.append(base + ".wav")
+            else:
+                # no trained vocoder available: Griffin-Lim inversion still
+                # yields an audible smoke sample (the reference can only
+                # listen when external Vocos weights are present)
+                from eraxvif5tts_tpu.audio.griffin_lim import griffin_lim_mel
+
+                wav = griffin_lim_mel(mel_np.T, n_iter=32,
+                                      hop_length=hop_length,
+                                      sample_rate=sample_rate)
+                write_wav(base + ".gl.wav", wav, sample_rate)
+                written.append(base + ".gl.wav")
         return written
 
     return sample_fn

@@ -74,6 +74,9 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--out", default="benchmarks/artifacts/convergence_real.json")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--synthesize", action="store_true",
+                    help="after training, infill the first utterance from its "
+                         "first half and Griffin-Lim the mel to a wav artifact")
     args = ap.parse_args()
 
     import jax
@@ -143,6 +146,40 @@ def main():
             print(json.dumps({"update": step, "loss": round(loss, 4)}), flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+
+    wav_artifact = None
+    if args.synthesize:
+        # Infill: condition on the first half of utterance 0, regenerate the
+        # rest with its own transcript; Griffin-Lim makes it audible without a
+        # trained vocoder (mel.npy keeps the exact model output).
+        from eraxvif5tts_tpu.audio.griffin_lim import griffin_lim_mel
+        from eraxvif5tts_tpu.audio.io import write_wav
+        from eraxvif5tts_tpu.infer.utils import pick_bucket
+
+        r = rows[0]
+        ref_len = r["mel_spec"].shape[0] // 2
+        total = r["mel_spec"].shape[0]
+        bucket = pick_bucket(total)
+        mel_out = cfm.sample(
+            state.ema_params, jnp.asarray(r["mel_spec"][None, :ref_len]),
+            jnp.asarray(list_str_to_idx([list(r["text"])], vocab)),
+            jnp.asarray([total]), jnp.asarray([ref_len]),
+            jax.random.key(1), steps=32, max_duration=bucket,
+        )
+        mel_np = np.asarray(mel_out[0, :total]).T  # [n_mels, total]
+        base = os.path.join(os.path.dirname(args.out), "convergence_sample")
+        np.save(base + ".npy", mel_np)
+        wav = griffin_lim_mel(mel_np, n_iter=48,
+                              hop_length=mel_cfg.hop_length,
+                              sample_rate=mel_cfg.target_sample_rate)
+        write_wav(base + ".wav", wav, mel_cfg.target_sample_rate)
+        gen = mel_np[:, ref_len:]
+        tgt = r["mel_spec"][ref_len:].T
+        mel_l1 = float(np.mean(np.abs(gen - tgt[:, : gen.shape[1]])))
+        wav_artifact = {"wav": base + ".wav", "mel_npy": base + ".npy",
+                        "infill_mel_l1": round(mel_l1, 4)}
+        print(json.dumps({"synthesized": wav_artifact}), flush=True)
+
     first = float(np.mean(losses[:10]))
     last = float(np.mean(losses[-10:]))
     artifact = {
@@ -154,6 +191,7 @@ def main():
         "loss_first10_mean": round(first, 4),
         "loss_last10_mean": round(last, 4),
         "loss_curve": [round(x, 5) for x in losses],
+        "synthesized": wav_artifact,
     }
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
