@@ -105,3 +105,31 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def global_batch_from_local(mesh: Mesh, batch: Any) -> Any:
+    """Assemble a globally-sharded batch from per-process local arrays.
+
+    Multi-host training (SURVEY.md §2.7: per-host data loading over DCN): each
+    process loads only its slice of the batch; this stitches the slices into
+    global ``jax.Array``s sharded ``P('data')`` over the mesh without any
+    cross-host transfer of array data. Single-process meshes (including the
+    8-device virtual CPU mesh) take the same path — the local batch IS the
+    global batch. The leading axis of every leaf must be the LOCAL batch size
+    (global_batch / process_count).
+    """
+    bs = batch_sharding(mesh)
+
+    n_proc = _process_count(mesh)
+
+    def make(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * n_proc,) + x.shape[1:]
+        return jax.make_array_from_process_local_data(bs, x, global_shape)
+
+    return jax.tree.map(make, batch)
+
+
+def _process_count(mesh: Mesh) -> int:
+    procs = {d.process_index for d in mesh.devices.flat}
+    return max(len(procs), 1)

@@ -145,3 +145,24 @@ def test_wrapper_generate_batch_on_mesh():
     mesh_tp = make_mesh(n_model=2)
     tp_out = build(mesh_tp).generate_batch(texts, seed=0, use_pinyin=False)
     assert len(tp_out) == 3 and all(np.isfinite(w).all() for w in tp_out)
+
+
+def test_global_batch_from_local():
+    """Multi-host batch assembly path (per-process local arrays -> globally
+    sharded jax.Arrays) on the virtual mesh; single-process: local == global."""
+    from eraxvif5tts_tpu.parallel.mesh import global_batch_from_local
+
+    mesh = make_mesh(n_model=1)
+    batch = _batch(8)
+    g = global_batch_from_local(mesh, batch)
+    assert g["mel"].shape == (8, 16, 8)
+    assert g["mel"].sharding.spec == jax.sharding.PartitionSpec("data")
+    np.testing.assert_array_equal(np.asarray(g["text"]), batch["text"])
+
+    # a sharded train step consumes it directly
+    dit = DiT(arch=ARCH, text_num_embeds=8, mel_dim=8)
+    trainer = Trainer(cfm=CFM(transformer=dit),
+                      optimizer=make_optimizer(total_updates=10), mesh=mesh)
+    state = trainer.init_state(jax.random.key(0))
+    state, metrics = trainer.train_step(state, g, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
