@@ -20,7 +20,6 @@ from eraxvif5tts_tpu.infer.utils_infer import (
     infer_process,
     preprocess_ref_audio_text,
     remove_silence_for_generated_wav,
-    save_spectrogram,
 )
 from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
 

@@ -31,7 +31,6 @@ from eraxvif5tts_tpu.audio.io import read_wav, write_wav
 from eraxvif5tts_tpu.audio.resample import resample
 from eraxvif5tts_tpu.audio.silence import clip_reference_audio
 from eraxvif5tts_tpu.compression.convert import (
-    dit_params_from_torch,
     infer_depth,
     infer_text_num_embeds,
     load_state_dict,

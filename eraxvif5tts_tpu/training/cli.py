@@ -98,6 +98,12 @@ def epoch_batches(dataset: CustomDataset, sampler: DynamicBatchSampler,
     for batch_indices in sampler:
         samples = [dataset[i] for i in batch_indices]
         if any(s.mel is None for s in samples):
+            # mels come precomputed or on the fly from audio_path; a None here
+            # means unreadable rows — be LOUD, a silent skip once made a whole
+            # run train on zero batches
+            bad = [i for i, s in zip(batch_indices, samples) if s.mel is None]
+            print(f"[dataset] WARNING: skipping batch, no mel for rows {bad[:5]}"
+                  f"{'...' if len(bad) > 5 else ''}")
             continue
         yield collate(samples, vocab_char_map, tokenize=tokenize,
                       phoneme_map=phoneme_map)

@@ -47,8 +47,50 @@ class Sample:
     phoneme: Optional[str] = None
 
 
+def numpy_log_mel(wav: np.ndarray, sample_rate: int = 24000, n_fft: int = 1024,
+                  hop_length: int = 256, win_length: int = 1024,
+                  n_mel_channels: int = 100,
+                  mel_spec_type: str = "vocos") -> np.ndarray:
+    """Host-side log-mel, numerically matching ``ops/stft.MelSpectrogram``
+    (reference ``MelSpec``, `modules.py:104-143`). Returns ``[n_frames, n_mels]``.
+
+    numpy on purpose: the data-loading path computes mels per sample at ragged
+    lengths — jitting per length would recompile constantly, and eager device
+    dispatch through the tunnel costs more than the FFT."""
+    from eraxvif5tts_tpu.ops.mel import mel_filterbank
+    from eraxvif5tts_tpu.ops.stft import hann_window
+
+    wav = np.asarray(wav, np.float64).reshape(-1)
+    win = hann_window(win_length).astype(np.float64)
+    if win_length < n_fft:
+        pad = (n_fft - win_length) // 2
+        win = np.pad(win, (pad, n_fft - win_length - pad))
+    if mel_spec_type == "vocos":
+        pad = n_fft // 2
+        eps = 0.0
+        variant = "htk"
+    elif mel_spec_type == "bigvgan":
+        pad = (n_fft - hop_length) // 2
+        eps = 1e-9
+        variant = "slaney"
+    else:
+        raise ValueError(f"unknown mel_spec_type: {mel_spec_type!r}")
+    wav = np.pad(wav, (pad, pad), mode="reflect")
+    n_frames = 1 + (len(wav) - n_fft) // hop_length
+    idx = np.arange(n_fft)[None, :] + hop_length * np.arange(n_frames)[:, None]
+    frames = wav[idx] * win[None, :]
+    spec = np.fft.rfft(frames, axis=-1)
+    mag = np.sqrt(spec.real ** 2 + spec.imag ** 2 + eps)  # [n_frames, bins]
+    fb = mel_filterbank(sample_rate, n_fft, n_mel_channels, variant=variant)
+    mel = mag @ fb.T  # [n_frames, n_mels]
+    return np.log(np.clip(mel, 1e-5, None)).astype(np.float32)
+
+
 class CustomDataset:
-    """Arrow/HF-datasets-backed dataset with optional precomputed mels."""
+    """Arrow/HF-datasets-backed dataset. Mels come from (in priority order)
+    precomputed ``mel_spec`` rows, a custom ``mel_loader``, or on-the-fly
+    computation from ``audio_path`` (the reference computes them on the fly
+    too, `dataset.py:82-165`)."""
 
     def __init__(
         self,
@@ -58,12 +100,14 @@ class CustomDataset:
         target_sample_rate: int = 24000,
         preprocessed_mel: bool = False,
         mel_loader: Optional[Callable[[dict], np.ndarray]] = None,
+        mel_spec_kwargs: Optional[dict] = None,
     ):
         self.rows = rows
         self.hop_length = hop_length
         self.target_sample_rate = target_sample_rate
         self.preprocessed_mel = preprocessed_mel
         self.mel_loader = mel_loader
+        self.mel_spec_kwargs = mel_spec_kwargs or {}
         if durations is not None:
             self.durations = list(durations)
         else:
@@ -75,6 +119,25 @@ class CustomDataset:
     def frame_length(self, idx: int) -> int:
         return int(self.durations[idx] * self.target_sample_rate / self.hop_length)
 
+    def _mel_from_audio(self, path: str) -> Optional[np.ndarray]:
+        from eraxvif5tts_tpu.audio.io import read_wav
+        from eraxvif5tts_tpu.audio.resample import resample
+
+        if not path or not os.path.isfile(path):
+            return None
+        wav, sr = read_wav(path)
+        wav = wav.mean(axis=0)
+        if sr != self.target_sample_rate:
+            wav = resample(wav, sr, self.target_sample_rate)
+        ms = self.mel_spec_kwargs
+        return numpy_log_mel(
+            wav, sample_rate=self.target_sample_rate,
+            n_fft=ms.get("n_fft", 1024), hop_length=self.hop_length,
+            win_length=ms.get("win_length", 1024),
+            n_mel_channels=ms.get("n_mel_channels", 100),
+            mel_spec_type=ms.get("mel_spec_type", "vocos"),
+        )
+
     def __getitem__(self, idx: int) -> Sample:
         row = self.rows[idx]
         mel = None
@@ -84,6 +147,8 @@ class CustomDataset:
                 mel = mel.T  # stored [n_mels, n] -> [n, n_mels]
         elif self.mel_loader is not None:
             mel = self.mel_loader(row)
+        elif row.get("audio_path"):
+            mel = self._mel_from_audio(row["audio_path"])
         return Sample(
             text=row["text"],
             duration_frames=self.frame_length(idx),
@@ -165,6 +230,7 @@ def load_dataset(
         durations=durations,
         hop_length=kwargs.get("hop_length", 256),
         target_sample_rate=kwargs.get("target_sample_rate", 24000),
+        mel_spec_kwargs=kwargs,
     )
 
 

@@ -278,3 +278,37 @@ def test_train_step_single_device_mesh():
     state, metrics = trainer.train_step(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_dataset_computes_mel_from_audio_path(tmp_path):
+    """CustomDataset computes mels on the fly from audio_path (reference
+    `dataset.py:82-165`) — a prepared csv_wavs dataset must actually train
+    (a silent skip once made a run train on zero batches)."""
+    from eraxvif5tts_tpu.audio.io import write_wav
+    from eraxvif5tts_tpu.ops.stft import MelSpectrogram
+    from eraxvif5tts_tpu.training.dataset import CustomDataset, numpy_log_mel
+
+    sr = 24000
+    t = np.arange(sr // 2) / sr
+    wav = (0.2 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = str(tmp_path / "utt.wav")
+    write_wav(path, wav, sr)
+
+    ds = CustomDataset(
+        rows=[{"audio_path": path, "text": "a tone", "duration": 0.5}],
+        mel_spec_kwargs={"n_fft": 1024, "win_length": 1024,
+                         "n_mel_channels": 100, "mel_spec_type": "vocos"},
+    )
+    s = ds[0]
+    assert s.mel is not None and s.mel.shape[1] == 100
+    assert abs(s.mel.shape[0] - ds.frame_length(0)) <= 2
+
+    # numpy mel == production jax mel (low-energy bins of a pure tone sit near
+    # the log clamp where fp noise is amplified — bound the bulk tightly and
+    # the tail loosely)
+    ref = np.asarray(jax.jit(MelSpectrogram().__call__)(jnp.asarray(wav[None])))[0].T
+    got = numpy_log_mel(wav)
+    n = min(len(ref), len(got))
+    diff = np.abs(ref[:n] - got[:n])
+    assert np.median(diff) < 1e-4
+    assert diff.max() < 0.1
