@@ -23,6 +23,7 @@ import os
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 
 from eraxvif5tts_tpu.configs import PRESETS, TrainConfig, load_yaml_config
 from eraxvif5tts_tpu.models import CFM, build_backbone
@@ -357,9 +358,12 @@ def finetune_main(argv=None):
             if state.dur_pred_params is not None:
                 dp = init_weights_tts(state.dur_pred_params, jax.random.fold_in(rng, 3))
                 kwargs = {"dur_pred_params": dp,
-                          "dur_align_params": jax.tree.map(lambda x: x, dp)}
+                          "dur_align_params": jax.tree.map(jnp.copy, dp)}
+            # jnp.copy, NOT identity: ema/params sharing buffers makes the
+            # donated train step alias one buffer to two donated args — the
+            # backend rejects it (InvalidArgument) on the first execution
             state = state.replace(
-                params=params, ema_params=jax.tree.map(lambda x: x, params), **kwargs
+                params=params, ema_params=jax.tree.map(jnp.copy, params), **kwargs
             )
 
     return _run_training(

@@ -167,3 +167,43 @@ def test_scratch_init_rules():
         np.asarray(jax.tree_util.tree_leaves(again)[0]),
         np.asarray(jax.tree_util.tree_leaves(inited)[0]),
     )
+
+
+def test_scratch_init_state_has_distinct_ema_buffers(tmp_path):
+    """The from-scratch path must deep-copy params into ema_params /
+    dur_align_params: identity-aliased trees make the donated train step hand
+    one buffer to two donated args, which the TPU backend rejects
+    (InvalidArgument) — invisible on CPU where donation is a no-op."""
+    from eraxvif5tts_tpu.configs import ArchConfig
+    from eraxvif5tts_tpu.models.cfm import CFM
+    from eraxvif5tts_tpu.models.dit import DiT
+    from eraxvif5tts_tpu.models.duration import DurationPredictor
+    from eraxvif5tts_tpu.training.trainer import Trainer, make_optimizer
+
+    arch = ArchConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2,
+                      text_dim=16, conv_layers=0, dropout=0.0)
+    trainer = Trainer(
+        cfm=CFM(transformer=DiT(arch=arch, text_num_embeds=8, mel_dim=8)),
+        optimizer=make_optimizer(total_updates=10),
+        duration_predictor=DurationPredictor(vocab_size=16, d_model=16, d_filter=16),
+    )
+    state = trainer.init_state(jax.random.key(0))
+    params = init_weights_tts(state.params, jax.random.key(2))
+    dp = init_weights_tts(state.dur_pred_params, jax.random.key(3))
+    # mimic the CLI from-scratch replace
+    state = state.replace(params=params,
+                          ema_params=jax.tree.map(jnp.copy, params),
+                          dur_pred_params=dp,
+                          dur_align_params=jax.tree.map(jnp.copy, dp))
+    for a, b in zip(jax.tree.leaves(state.params), jax.tree.leaves(state.ema_params)):
+        assert a is not b
+    for a, b in zip(jax.tree.leaves(state.dur_pred_params),
+                    jax.tree.leaves(state.dur_align_params)):
+        assert a is not b
+    # and the donated step runs
+    batch = {"mel": np.zeros((2, 16, 8), np.float32),
+             "text": np.asarray([[1, 2, -1], [2, 1, -1]], np.int32),
+             "lens": np.asarray([16, 12], np.int32),
+             "phoneme": np.asarray([[1, 2, 0], [2, 1, 0]], np.int32)}
+    state, metrics = trainer.train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
