@@ -141,6 +141,15 @@ class F5TTSWrapper:
             if depth != cfg.arch.depth:
                 cfg = dataclasses.replace(cfg, arch=dataclasses.replace(cfg.arch, depth=depth))
             text_num_embeds = infer_text_num_embeds(sd)
+            if self.vocab_char_map and len(self.vocab_char_map) > text_num_embeds:
+                # out-of-range ids gather garbage SILENTLY on TPU (all-NaN mel,
+                # no crash) — fail loudly like torch's embedding would
+                raise ValueError(
+                    f"vocab has {len(self.vocab_char_map)} tokens but the "
+                    f"checkpoint's text embedding holds {text_num_embeds} — "
+                    "pass the vocab file the model was trained with (or extend "
+                    "the checkpoint with compression.pruner.expand_text_embedding)"
+                )
         else:
             text_num_embeds = len(self.vocab_char_map) if self.vocab_char_map else 256
 

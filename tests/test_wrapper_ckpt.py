@@ -70,3 +70,13 @@ def test_rtf_meter_and_force_sync():
     assert s["audio_seconds"] == 2.0 and s["requests"] == 1
     assert s["first_chunk_p50_ms"] is not None
     force_sync(jnp.ones((4, 4)))  # must not raise
+
+
+def test_wrapper_rejects_oversized_vocab(tmp_path):
+    """A vocab larger than the checkpoint's text-embedding table must raise —
+    out-of-range ids gather garbage SILENTLY on TPU (all-NaN mel, no crash)."""
+    path, _ = _make_ckpt(tmp_path, ema_prefix=False)
+    cfg = ModelConfig(arch=ARCH)
+    big_vocab = {chr(97 + i // 26) + chr(97 + i % 26): i for i in range(500)}
+    with pytest.raises(ValueError, match="text embedding"):
+        F5TTSWrapper(model_cfg=cfg, ckpt_path=path, vocab_char_map=big_vocab)
