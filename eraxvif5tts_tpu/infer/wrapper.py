@@ -160,6 +160,15 @@ class F5TTSWrapper:
         if compute_dtype == "int8":
             # int8 W8A8 serving (opt-in): block matmuls quantized, everything
             # else bf16. 3.6x GEMM throughput on v5e (`benchmarks/quant_probe.py`).
+            if cfg.backbone != "DiT":
+                # only DiT threads arch.quantized into its blocks;
+                # quantize_params would still rename UNetT/MMDiT kernels to
+                # kernel_q/kernel_scale and the first apply would fail with
+                # missing params — refuse up front instead
+                raise ValueError(
+                    f"compute_dtype='int8' is only supported for the DiT "
+                    f"backbone (got {cfg.backbone!r}); use 'bfloat16'"
+                )
             cfg = dataclasses.replace(
                 cfg, arch=dataclasses.replace(cfg.arch, quantized=True))
         self.config = cfg

@@ -296,6 +296,12 @@ class Attention(nn.Module):
         rope: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        """``mask [b, n]`` marks VALID positions and MUST be a contiguous
+        prefix (``lens_to_mask`` shape): the Pallas serving/training kernels
+        reduce it to per-sample lengths via ``sum(mask)``, so a mask with
+        mid-sequence holes would silently attend over the holes. All current
+        callers build masks with ``lens_to_mask``; a future caller needing
+        holes must route through ``implementation="xla"``."""
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
         dense = _dense(self.quantized)

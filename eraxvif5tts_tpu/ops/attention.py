@@ -100,7 +100,11 @@ def use_serving_kernel(q, k, v, trainable: bool, key_valid, prefix_key_mask: boo
         and _on_tpu()
         and n % 128 == 0
         and n <= 4096
-        and d in (64, 128, 256)
+        # d=256 excluded: at large n the headloop finds no VMEM-feasible block
+        # and the fallback _blocks() budget (fp32 logits only, not K/V
+        # double-buffering + rope tables) can admit a shape Mosaic then
+        # rejects with a scoped-vmem error; no shipped config uses d=256
+        and d in (64, 128)
         and q.shape == k.shape == v.shape
         and (key_valid is None or prefix_key_mask)
     )

@@ -27,7 +27,10 @@ def hash_dropout(x: jnp.ndarray, rate: float, key: jax.Array) -> jnp.ndarray:
         return x
     keep = 1.0 - rate
     kd = jax.random.key_data(key).reshape(-1).astype(jnp.uint32)
-    salt = kd[0] * jnp.uint32(0x9E3779B9) + kd[-1] * jnp.uint32(0x7FEB352D)
+    # two independent fmix rounds (one per 32-bit key word) — avoids the
+    # linear-combination aliasing a single multiply-add salt would have
+    salt = _fmix32(kd[0] * jnp.uint32(0x9E3779B9)) ^ _fmix32(
+        kd[-1] + jnp.uint32(0x7FEB352D))
     idx = jax.lax.broadcasted_iota(jnp.uint32, (x.size,), 0).reshape(x.shape)
     bits = _fmix32(idx ^ salt)
     km = bits < jnp.uint32(min(int(keep * 2**32), 2**32 - 1))

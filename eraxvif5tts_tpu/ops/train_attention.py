@@ -387,7 +387,13 @@ def train_attention(
     if dropout_rate > 0.0:
         assert dropout_rng is not None
         kd = jax.random.key_data(dropout_rng).reshape(-1)
-        seed = (kd[0] ^ kd[-1]).astype(jnp.uint32)[None].astype(jnp.int32)
+        # mix both 32-bit key words through independent fmix rounds so the
+        # full 64-bit key space spreads over the 32-bit kernel seed (a plain
+        # xor aliases keys differing symmetrically in both words)
+        seed = (
+            _fmix32(kd[0].astype(jnp.uint32))
+            ^ _fmix32(kd[-1].astype(jnp.uint32) + jnp.uint32(0x9E3779B9))
+        )[None].astype(jnp.int32)
     else:
         seed = jnp.zeros((1,), jnp.int32)
     masked = key_valid is not None

@@ -68,3 +68,15 @@ def test_quantized_dit_matches_fp_within_tolerance():
     rel = np.abs(a - bq).max() / denom
     assert rel < 0.08, rel  # W8A8 on 2 layers: a few percent of full scale
     assert np.isfinite(bq).all()
+
+
+def test_int8_rejected_for_non_dit_backbones():
+    """Only DiT threads arch.quantized into its blocks; UNetT/MMDiT would fail
+    at first apply with missing-kernel params, so the wrapper refuses early."""
+    import pytest
+
+    from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
+
+    with pytest.raises(ValueError, match="int8.*DiT"):
+        F5TTSWrapper(model_name="E2TTS_Base", compute_dtype="int8",
+                     vocab_char_map={"a": 0, "b": 1})

@@ -38,7 +38,15 @@ def test_fwd_matches_dense_no_dropout():
 def test_fwd_and_grads_match_dense_with_dropout():
     q, k, v, mask = _inputs()
     rng = jax.random.key(7)
-    seed = 7  # key_data(key(7)) == [0, 7]; kernel folds kd[0] ^ kd[-1]
+    # the kernel mixes both 32-bit key words through independent fmix rounds;
+    # derive the oracle seed the same way
+    from eraxvif5tts_tpu.ops.train_attention import _fmix32
+
+    kd = jax.random.key_data(rng).reshape(-1)
+    seed = int(np.int32(np.uint32(
+        _fmix32(kd[0].astype(jnp.uint32))
+        ^ _fmix32(kd[-1].astype(jnp.uint32) + jnp.uint32(0x9E3779B9))
+    )))
 
     out = train_attention(q, k, v, key_valid=mask, dropout_rate=0.1,
                           dropout_rng=rng, interpret=True)
