@@ -19,6 +19,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def predictor_vocab_size(text_vocab_size: int) -> int:
+    """One shared sizing rule for the predictor's embedding table (round 2
+    shipped `vocab_size+1` in the finetune CLI vs `teacher_vocab+2` in the
+    distill CLI — resuming across the two silently truncated): pad row 0 +
+    ids 1..n + one spare row."""
+    return text_vocab_size + 2
+
+
 class DurationPredictor(nn.Module):
     vocab_size: int
     d_model: int = 512

@@ -39,16 +39,42 @@ def phonemize(text: str, language: str = "vi") -> list[str]:
     return [c for c in text if not c.isspace()]
 
 
+class PhonemeMap(dict):
+    """Phoneme -> index map with an optional hard index ceiling.
+
+    ``max_index`` bounds the ids a growing map may assign: the duration
+    predictor's embedding table has a fixed ``vocab_size`` and JAX clamps
+    out-of-range gathers SILENTLY (aliasing embeddings instead of erroring),
+    so growth past the table must raise, not clamp — the same policy the
+    wrapper applies to text embeddings."""
+
+    def __init__(self, *args, max_index: int | None = None, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.max_index = max_index
+
+
 def phoneme_to_indices(
     phonemes: list[str], phoneme_map: dict[str, int], grow: bool = True
 ) -> list[int]:
-    """Phonemes -> int ids; 0 = pad. Grows the map for unseen phonemes when allowed."""
+    """Phonemes -> int ids; 0 = pad. Grows the map for unseen phonemes when allowed.
+
+    Raises when growth would exceed ``phoneme_map.max_index`` (set by the
+    training CLIs to the predictor's embedding-table bound)."""
+    limit = getattr(phoneme_map, "max_index", None)
     ids = []
     for p in phonemes:
         if p not in phoneme_map:
             if not grow:
                 continue
-            phoneme_map[p] = len(phoneme_map) + 1  # 0 reserved for padding
+            new_idx = len(phoneme_map) + 1  # 0 reserved for padding
+            if limit is not None and new_idx > limit:
+                raise ValueError(
+                    f"phoneme map needs index {new_idx} for {p!r} but the "
+                    f"duration predictor's embedding table only holds ids "
+                    f"<= {limit} — the corpus has more distinct phonemes than "
+                    f"the predictor vocab; rebuild it with a larger vocab_size"
+                )
+            phoneme_map[p] = new_idx
         ids.append(phoneme_map[p])
     return ids
 

@@ -65,6 +65,7 @@ def build_sampler(dataset, cfg: TrainConfig, seed: int) -> DynamicBatchSampler:
 def build_trainer(cfg: TrainConfig, vocab_size: int, total_updates: int,
                   checkpoint_dir: Optional[str] = None, n_model: int = 1,
                   duration_predictor=None, duration_focus_updates: int = 12000,
+                  phoneme_map: Optional[dict] = None,
                   ) -> Trainer:
     if cfg.optim.bnb_optimizer:
         raise ValueError(
@@ -88,6 +89,7 @@ def build_trainer(cfg: TrainConfig, vocab_size: int, total_updates: int,
         keep_last_n_checkpoints=cfg.ckpts.keep_last_n_checkpoints,
         duration_predictor=duration_predictor,
         duration_focus_updates=duration_focus_updates,
+        phoneme_map=phoneme_map,
     )
 
 
@@ -315,17 +317,24 @@ def finetune_main(argv=None):
     duration_predictor = None
     phoneme_map: Optional[dict] = None
     if args.use_duration_predictor:
-        from eraxvif5tts_tpu.models.duration import DurationPredictor
+        from eraxvif5tts_tpu.models.duration import (
+            DurationPredictor,
+            predictor_vocab_size,
+        )
+        from eraxvif5tts_tpu.text.phoneme import PhonemeMap
 
+        pred_vocab = predictor_vocab_size(vocab_size)
         duration_predictor = DurationPredictor(
-            vocab_size=vocab_size + 1, d_model=512, d_filter=32,
+            vocab_size=pred_vocab, d_model=512, d_filter=32,
             kernel_size=3, dropout=0.5,
         )
-        phoneme_map = {}
+        # collate ids must stay < pred_vocab (OOB gathers clamp silently)
+        phoneme_map = PhonemeMap(max_index=pred_vocab - 1)
 
     trainer = build_trainer(cfg, vocab_size, total_updates,
                             duration_predictor=duration_predictor,
-                            duration_focus_updates=args.duration_focus_updates)
+                            duration_focus_updates=args.duration_focus_updates,
+                            phoneme_map=phoneme_map)
 
     if args.finetune and args.pretrain:
         # import reference checkpoint, extending the vocab table if the dataset's

@@ -96,11 +96,14 @@ def main(argv=None):
 
     duration_predictor = None
     if args.use_duration_predictor:
-        from eraxvif5tts_tpu.models.duration import DurationPredictor
+        from eraxvif5tts_tpu.models.duration import (
+            DurationPredictor,
+            predictor_vocab_size,
+        )
 
         duration_predictor = DurationPredictor(
-            vocab_size=teacher_vocab + 2, d_model=512, d_filter=32,
-            kernel_size=3, dropout=0.5,
+            vocab_size=predictor_vocab_size(teacher_vocab), d_model=512,
+            d_filter=32, kernel_size=3, dropout=0.5,
         )
 
     trainer = DistillTrainer(

@@ -171,6 +171,17 @@ def latest_checkpoint(checkpoint_dir: str) -> Optional[str]:
     return os.path.join(checkpoint_dir, max(steps)[1])
 
 
+def ema_current_decay(step, beta: float, update_after_step: int,
+                      inv_gamma: float = 1.0, power: float = 2.0 / 3.0):
+    """ema_pytorch's ``get_current_decay`` (reference `trainer.py:180` relies
+    on its defaults beta=0.9999, update_after_step=100, inv_gamma=1,
+    power=2/3): decay ramps as ``1 - (1 + t/inv_gamma)^(-power)`` with
+    ``t = step - update_after_step - 1``, clamped to ``[0, beta]``."""
+    t = jnp.maximum(step - update_after_step - 1, 0).astype(jnp.float32)
+    ramp = 1.0 - (1.0 + t / inv_gamma) ** (-power)
+    return jnp.clip(ramp, 0.0, beta)
+
+
 def _select_tree(pred, on_true, on_false):
     """Per-leaf jnp.where over two same-structure pytrees (NaN-skip select)."""
     return jax.tree.map(lambda a, b: jnp.where(pred, a, b), on_true, on_false)
@@ -216,6 +227,11 @@ class Trainer:
     ema_decay: float = 0.9999
     ema_update_after_step: int = 100
     ema_update_every: int = 10
+    # ema_pytorch decay warmup (reference `trainer.py:180` uses ema_pytorch
+    # defaults): decay ramps as 1 - (1 + t/inv_gamma)^(-power) toward
+    # ema_decay, t = step - update_after_step - 1
+    ema_inv_gamma: float = 1.0
+    ema_power: float = 2.0 / 3.0
     grad_accumulation_steps: int = 1
     checkpoint_dir: Optional[str] = None
     keep_last_n_checkpoints: int = -1
@@ -225,6 +241,12 @@ class Trainer:
     # freezes the main model for `duration_focus_updates` updates.
     duration_predictor: Any = None  # DurationPredictor module
     duration_focus_updates: int = 12000
+    # Live phoneme->index map shared with the collate pipeline. Persisted in
+    # the checkpoint meta sidecar and restored IN PLACE on resume: collate
+    # assigns indices in iteration order, so a resume that re-grew the map
+    # from scratch would scramble ids under the restored embedding rows
+    # (reference persists it with the predictor ckpt, `trainer.py:1367-1377`).
+    phoneme_map: Any = None
     duration_lr: Optional[float] = None  # defaults to main LR, weight decay 3e-4
     # Quality-adaptive duration weight (reference `trainer.py:36-91`, unused there;
     # wired for real here): when on, the weight follows the sigmoid/decay schedule
@@ -321,12 +343,14 @@ class Trainer:
         ema_decay, ema_after, ema_every = (
             self.ema_decay, self.ema_update_after_step, self.ema_update_every
         )
+        decay = ema_current_decay(step, ema_decay, ema_after,
+                                  self.ema_inv_gamma, self.ema_power)
 
         def ema_update(ema, p):
-            decayed = ema * ema_decay + p * (1.0 - ema_decay)
+            decayed = ema * decay + p * (1.0 - decay)
             take_copy = step <= ema_after
             do_update = applied & ((step % ema_every == 0) | take_copy)
-            return jnp.where(do_update, jnp.where(take_copy, p, decayed), ema)
+            return jnp.where(do_update, jnp.where(take_copy, p, decayed.astype(ema.dtype)), ema)
 
         return jax.tree.map(ema_update, ema_tree, param_tree)
 
@@ -704,6 +728,8 @@ class Trainer:
             s = self._dur_weight_sched
             meta["dur_weight"] = {"ema_cov": s.ema_cov, "ema_diag": s.ema_diag,
                                   "prev_weight": s.prev_weight, "phase": s.phase}
+        if self.phoneme_map is not None:
+            meta["phoneme_map"] = dict(self.phoneme_map)
         return meta
 
     def _dump_alignment_viz(self, step: int, durations, batch: dict,
@@ -749,6 +775,11 @@ class Trainer:
             self._dur_weight_sched.ema_diag = dw["ema_diag"]
             self._dur_weight_sched.prev_weight = dw["prev_weight"]
             self._dur_weight_sched.phase = dw["phase"]
+        pm = meta.get("phoneme_map")
+        if pm and self.phoneme_map is not None:
+            # in place: the collate closure holds the same dict object
+            self.phoneme_map.clear()
+            self.phoneme_map.update(pm)
         return meta.get("epoch", 0), meta.get("batch_in_epoch", 0)
 
     # ------------------------------------------------------------------

@@ -257,3 +257,59 @@ def test_adaptive_duration_weight_drives_scheduler():
     some = next(iter(seen.values()))
     assert "duration_weight" in some and "align_diagonal" in some
     assert 0.0 < some["align_diagonal"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# phoneme-map persistence across resume (round-3 fix: resume used to re-grow
+# the map in the new iteration order, scrambling ids under the restored
+# embedding rows — reference persists the map, `trainer.py:1367-1377`)
+
+
+def test_phoneme_map_survives_resume_with_reordered_batches(tmp_path):
+    from eraxvif5tts_tpu.text.phoneme import PhonemeMap, phoneme_to_indices
+
+    pm = PhonemeMap(max_index=15)
+    trainer = Trainer(
+        cfm=_cfm(), optimizer=make_optimizer(total_updates=100),
+        duration_predictor=DurationPredictor(vocab_size=16, d_model=16, d_filter=16),
+        duration_focus_updates=100, checkpoint_dir=str(tmp_path),
+        phoneme_map=pm,
+    )
+    state = trainer.init_state(jax.random.key(0))
+    # first-process collate order: "a b" then "c d"
+    phoneme_to_indices(["a", "b"], pm)
+    phoneme_to_indices(["c", "d"], pm)
+    original = dict(pm)
+    batch = _batch(seed=0)
+    batch["phoneme"] = np.asarray([[1, 2, 0, 0], [3, 4, 0, 0]], np.int32)
+    state, _ = trainer.train_step(state, batch, jax.random.key(1))
+    path = trainer.save_checkpoint(state, meta=trainer._make_meta(0, 1))
+
+    # fresh process: empty map, DIFFERENT iteration order after skip_batches
+    pm2 = PhonemeMap(max_index=15)
+    t2 = Trainer(
+        cfm=_cfm(), optimizer=make_optimizer(total_updates=100),
+        duration_predictor=DurationPredictor(vocab_size=16, d_model=16, d_filter=16),
+        duration_focus_updates=100, checkpoint_dir=str(tmp_path),
+        phoneme_map=pm2,
+    )
+    template = t2.init_state(jax.random.key(7))
+    t2.load_checkpoint(path, template)
+    assert t2.resume_meta["phoneme_map"] == original
+    t2.restore_meta(t2.resume_meta)
+    assert dict(pm2) == original
+    assert pm2.max_index == 15  # in-place update keeps the guard
+    # resumed collate sees "c" first — it must keep its ORIGINAL index
+    ids = phoneme_to_indices(["c", "a", "e"], pm2)
+    assert ids == [original["c"], original["a"], 5]
+
+
+def test_phoneme_map_growth_past_embedding_table_raises():
+    import pytest
+
+    from eraxvif5tts_tpu.text.phoneme import PhonemeMap, phoneme_to_indices
+
+    pm = PhonemeMap(max_index=2)
+    assert phoneme_to_indices(["x", "y"], pm) == [1, 2]
+    with pytest.raises(ValueError, match="embedding table"):
+        phoneme_to_indices(["z"], pm)

@@ -312,3 +312,28 @@ def test_dataset_computes_mel_from_audio_path(tmp_path):
     diff = np.abs(ref[:n] - got[:n])
     assert np.median(diff) < 1e-4
     assert diff.max() < 0.1
+
+
+def test_ema_decay_warmup_matches_ema_pytorch_formula():
+    """The first 10k steps of the decay schedule must follow ema_pytorch's
+    `get_current_decay` ramp 1-(1+t/inv_gamma)^(-power) (reference
+    `trainer.py:180` uses the library defaults beta=0.9999,
+    update_after_step=100, inv_gamma=1.0, power=2/3)."""
+    from eraxvif5tts_tpu.training.trainer import ema_current_decay
+
+    beta, after, inv_gamma, power = 0.9999, 100, 1.0, 2.0 / 3.0
+    steps = np.arange(0, 10_000)
+    got = np.asarray(jax.vmap(
+        lambda s: ema_current_decay(s, beta, after, inv_gamma, power)
+    )(jnp.asarray(steps)))
+
+    # independent re-derivation of ema_pytorch.EMA.get_current_decay
+    t = np.clip(steps - after - 1, 0, None).astype(np.float64)
+    expect = np.clip(1.0 - (1.0 + t / inv_gamma) ** (-power), 0.0, beta)
+    assert np.allclose(got, expect, atol=1e-6)
+    # shape checks: zero through the copy phase, strictly increasing after,
+    # saturating at beta
+    assert got[after + 1] == 0.0
+    assert (np.diff(got[after + 2 : 5000]) > 0).all()
+    # the ramp only saturates around (1+t)^(2/3) = 1e4, i.e. t ~ 1e6 steps
+    assert float(ema_current_decay(2_000_000, beta, after, inv_gamma, power)) == np.float32(beta)
