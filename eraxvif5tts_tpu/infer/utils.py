@@ -10,8 +10,13 @@ import numpy as np
 # <= 1.25 caps padded-frame waste at 20% (e.g. an 11 s request landing on 1536 was
 # 49% padding before 1280 existed); every bucket is a multiple of 128 so the
 # serving attention kernel applies.
-DURATION_BUCKETS = (256, 384, 512, 640, 768, 896, 1024, 1280, 1536, 1792,
-                    2048, 2560, 3072, 3584, 4096)
+# 128-multiples throughout (the serving attention kernel dispatches on
+# n % 128 == 0): dense 128-steps through the common ref-5s + gen-5-15s range
+# (<= 2048 frames) cap padding waste at <= 11%, 256-steps above. The round-2
+# 1024->1280 jump alone cost ~10% wall on a typical 11 s total request.
+DURATION_BUCKETS = (256, 384, 512, 640, 768, 896, 1024, 1152, 1280, 1408,
+                    1536, 1664, 1792, 1920, 2048, 2304, 2560, 2816, 3072,
+                    3328, 3584, 3840, 4096)
 TEXT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
 

@@ -54,6 +54,12 @@ from eraxvif5tts_tpu.text.chunk import chunk_text
 from eraxvif5tts_tpu.text.tokenizer import get_tokenizer, list_str_to_idx
 
 
+# Frames of prompt-region mel kept in front of the vocoded slice so the cut
+# is outside the decoder's receptive field: embed conv k7 (+-3) + 8 ConvNeXt
+# dw-convs k7 (+-3 each) + ISTFT center overlap (n_fft/hop = 4) = +-31 frames.
+VOCODE_MARGIN_FRAMES = 48
+
+
 @dataclass(frozen=True)
 class ReferenceState:
     """Preprocessed reference prompt. Immutable; safe to share across requests."""
@@ -263,21 +269,29 @@ class F5TTSWrapper:
         # single device dispatch (one round-trip instead of two). RMS un-normalization
         # happens on-device and the wave is returned as int16 PCM — 4x less
         # device->host traffic (the final output format is 16-bit PCM anyway).
+        # ``vocode_start`` (static, = ref_frames - margin) skips vocoding the
+        # prompt region whose waveform is discarded anyway — the reference
+        # decodes the full mel then slices (`f5tts_wrapper.py:519-524`); the
+        # margin keeps the conv receptive field + ISTFT overlap intact at the
+        # cut so the kept region is numerically unchanged.
         def _sample_vocode(params, vparams, cond, text, duration, lens, key,
-                           rms_scale, steps, cfg_strength, sway, max_duration):
+                           rms_scale, steps, cfg_strength, sway, max_duration,
+                           vocode_start=0):
             mel = self.cfm.sample(
                 params, cond, text, duration, lens, key,
                 steps=steps, cfg_strength=cfg_strength,
                 sway_sampling_coef=sway, max_duration=max_duration,
             )
-            wave = self.vocoder.apply({"params": vparams}, mel.swapaxes(1, 2))
+            wave = self.vocoder.apply(
+                {"params": vparams}, mel[:, vocode_start:].swapaxes(1, 2))
             wave = wave * rms_scale
             pcm = jnp.clip(wave, -1.0, 1.0) * 32767.0
             return pcm.astype(jnp.int16), mel
 
         self._sample_vocode_jit = jax.jit(
             _sample_vocode,
-            static_argnames=("steps", "cfg_strength", "sway", "max_duration"),
+            static_argnames=("steps", "cfg_strength", "sway", "max_duration",
+                             "vocode_start"),
         )
         self.ref: Optional[ReferenceState] = None
         self._last_wave: Optional[np.ndarray] = None
@@ -411,6 +425,7 @@ class F5TTSWrapper:
             text_ids = list_str_to_idx(tokens, self.vocab_char_map, pad_to=text_bucket)
 
             rms_scale = ref.rms / self.target_rms if 0 < ref.rms < self.target_rms else 1.0
+            vstart = max(ref.n_frames - VOCODE_MARGIN_FRAMES, 0)
             pcm, out = self._sample_vocode_jit(
                 self.params,
                 self.vocoder_params,
@@ -424,9 +439,10 @@ class F5TTSWrapper:
                 cfg_strength=float(cfg_strength),
                 sway=float(sway) if sway is not None else None,
                 max_duration=bucket,
-            )  # pcm [1, (bucket-1)*hop] int16, mel [1, bucket, n_mels]
-            start = ref.n_frames * self.hop_length
-            end = min(duration, bucket) * self.hop_length
+                vocode_start=vstart,
+            )  # pcm [1, (bucket-vstart)*hop] int16, mel [1, bucket, n_mels]
+            start = (ref.n_frames - vstart) * self.hop_length
+            end = (min(duration, bucket) - vstart) * self.hop_length
             wave_np = np.asarray(pcm[0, start:end]).astype(np.float32) / 32767.0
             waves.append(wave_np)
             if return_spectrogram:
@@ -517,6 +533,7 @@ class F5TTSWrapper:
             lens_in = jax.device_put(lens_arr, bs)
         else:
             text_in, dur_in, lens_in = map(jnp.asarray, (text_arr, dur_arr, lens_arr))
+        vstart = max(ref.n_frames - VOCODE_MARGIN_FRAMES, 0)
         pcm, _ = self._sample_vocode_jit(
             self.params,
             self.vocoder_params,
@@ -530,12 +547,13 @@ class F5TTSWrapper:
             cfg_strength=float(cfg_strength),
             sway=float(sway) if sway is not None else None,
             max_duration=bucket,
+            vocode_start=vstart,
         )
         pcm = np.asarray(pcm)
         out = []
-        start = ref.n_frames * self.hop_length
+        start = (ref.n_frames - vstart) * self.hop_length
         for i, d in enumerate(durations):
-            wave = pcm[i, start : min(d, bucket) * self.hop_length]
+            wave = pcm[i, start : (min(d, bucket) - vstart) * self.hop_length]
             out.append(wave.astype(np.float32) / 32767.0)
         return out
 

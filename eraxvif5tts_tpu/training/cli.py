@@ -34,6 +34,7 @@ from eraxvif5tts_tpu.training.dataset import (
     DynamicBatchSampler,
     collate,
     load_dataset,
+    prefetch_batches,
 )
 from eraxvif5tts_tpu.training.trainer import Trainer, make_optimizer
 
@@ -95,11 +96,17 @@ def build_trainer(cfg: TrainConfig, vocab_size: int, total_updates: int,
 
 def epoch_batches(dataset: CustomDataset, sampler: DynamicBatchSampler,
                   vocab_char_map: dict, epoch: int, tokenize=None,
-                  phoneme_map: Optional[dict] = None):
-    """One epoch of collated bucketed batches (generator)."""
+                  phoneme_map: Optional[dict] = None, executor=None):
+    """One epoch of collated bucketed batches (generator).
+
+    ``executor`` (a ThreadPoolExecutor) parallelizes the per-sample fetch —
+    on audio-path datasets each ``dataset[i]`` runs a host mel FFT."""
     sampler.set_epoch(epoch)
     for batch_indices in sampler:
-        samples = [dataset[i] for i in batch_indices]
+        if executor is not None:
+            samples = list(executor.map(dataset.__getitem__, batch_indices))
+        else:
+            samples = [dataset[i] for i in batch_indices]
         if any(s.mel is None for s in samples):
             # mels come precomputed or on the fly from audio_path; a None here
             # means unreadable rows — be LOUD, a silent skip once made a whole
@@ -175,11 +182,27 @@ def _run_training(trainer: Trainer, cfg: TrainConfig, dataset, sampler,
                     )
                     print(f"[cli] saved duration predictor: {p}")
 
+    # Input-pipeline overlap (honors datasets.num_workers; the reference gets
+    # this from DataLoader workers, `trainer.py:1137-1170`): a producer thread
+    # prefetches collated batches and a pool parallelizes per-sample mel FFTs
+    # so host prep of batch N+1 hides under device step N.
+    num_workers = getattr(cfg.datasets, "num_workers", 0)
+    executor = None
+    if num_workers and num_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        executor = ThreadPoolExecutor(max_workers=num_workers,
+                                      thread_name_prefix="sample-fetch")
+
+    def make_epoch_iter(e):
+        gen = epoch_batches(dataset, sampler, vocab_char_map, e,
+                            tokenize=tokenize, phoneme_map=phoneme_map,
+                            executor=executor)
+        return prefetch_batches(gen) if num_workers else gen
+
     state = trainer.train(
         state, rng=rng,
-        epoch_iter=lambda e: epoch_batches(dataset, sampler, vocab_char_map, e,
-                                           tokenize=tokenize,
-                                           phoneme_map=phoneme_map),
+        epoch_iter=make_epoch_iter,
         epochs=cfg.optim.epochs, start_epoch=start_epoch, skip_batches=skip_batches,
         log_every=log_every,
         save_per_updates=cfg.ckpts.save_per_updates,

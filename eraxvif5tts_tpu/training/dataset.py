@@ -355,3 +355,50 @@ def collate(
             phoneme[i, : min(len(ids_), ph_width)] = ids_[:ph_width]
         out["phoneme"] = phoneme
     return out
+
+
+def prefetch_batches(gen, depth: int = 2):
+    """Overlap host batch prep (mel FFT + collate) with device compute.
+
+    A daemon producer thread runs ``gen`` ahead of the consumer through a
+    bounded queue — the TPU-native analogue of the reference DataLoader's
+    ``num_workers`` overlap (`trainer.py:1137-1170`): while the device executes
+    step N (jit dispatch is async), the producer builds batch N+1. ``depth``
+    bounds host memory (batches are tens of MB at the reference frame budget).
+
+    Exceptions in the producer re-raise in the consumer; abandoning the
+    iterator early (mid-epoch interrupt) unblocks and stops the producer.
+    """
+    import queue as _queue
+    import threading
+
+    q: _queue.Queue = _queue.Queue(maxsize=depth)
+    stop = threading.Event()
+    _END = object()
+
+    def _run():
+        try:
+            for item in gen:
+                while True:
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except _queue.Full:
+                        if stop.is_set():
+                            return
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — propagate to consumer
+            q.put(e)
+
+    t = threading.Thread(target=_run, daemon=True, name="batch-prefetch")
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()

@@ -337,3 +337,50 @@ def test_ema_decay_warmup_matches_ema_pytorch_formula():
     assert (np.diff(got[after + 2 : 5000]) > 0).all()
     # the ramp only saturates around (1+t)^(2/3) = 1e4, i.e. t ~ 1e6 steps
     assert float(ema_current_decay(2_000_000, beta, after, inv_gamma, power)) == np.float32(beta)
+
+
+def test_prefetch_batches_overlap_and_errors():
+    """prefetch_batches yields the generator's items in order, overlaps
+    production with consumption, re-raises producer exceptions, and stops the
+    producer thread when the consumer abandons the iterator."""
+    import threading
+    import time
+
+    from eraxvif5tts_tpu.training.dataset import prefetch_batches
+
+    # order + completeness
+    assert list(prefetch_batches(iter(range(7)))) == list(range(7))
+
+    # overlap: with depth=2 the producer runs ahead of the consumer
+    produced = []
+
+    def slow_gen():
+        for i in range(4):
+            produced.append(i)
+            yield i
+
+    it = prefetch_batches(slow_gen(), depth=2)
+    first = next(it)
+    time.sleep(0.3)
+    assert first == 0 and len(produced) >= 3  # producer ran ahead
+    assert list(it) == [1, 2, 3]
+
+    # exception propagation
+    def bad_gen():
+        yield 1
+        raise RuntimeError("producer boom")
+
+    it = prefetch_batches(bad_gen())
+    assert next(it) == 1
+    with pytest.raises(RuntimeError, match="producer boom"):
+        list(it)
+
+    # early abandon unblocks the producer
+    n_threads = threading.active_count()
+    it = prefetch_batches(iter(range(1000)), depth=1)
+    next(it)
+    it.close()
+    deadline = time.time() + 5.0
+    while threading.active_count() > n_threads and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= n_threads

@@ -206,3 +206,42 @@ def test_unett_wrapper_aligned_buckets():
                       use_pinyin=False)
     assert wave.ndim == 1 and len(wave) > 0
     assert np.isfinite(wave).all()
+
+
+def test_vocode_slice_matches_full_decode(tiny_wrapper):
+    """generate() only vocodes [ref_frames - margin :) of the mel; the kept
+    gen-region samples must match a full-sequence decode (the margin covers the
+    decoder's receptive field, `wrapper.py VOCODE_MARGIN_FRAMES`)."""
+    import jax
+    import jax.numpy as jnp
+
+    from eraxvif5tts_tpu.infer.wrapper import VOCODE_MARGIN_FRAMES
+
+    w = tiny_wrapper
+    n, hop = 128, w.hop_length
+    mel = jax.random.normal(jax.random.key(0), (1, n, 100)) * 0.5
+    decode = jax.jit(
+        lambda m: w.vocoder.apply({"params": w.vocoder_params}, m.swapaxes(1, 2))
+    )
+    full = np.asarray(decode(mel))
+    ref_frames = 64
+    vstart = ref_frames - VOCODE_MARGIN_FRAMES
+    sliced = np.asarray(decode(mel[:, vstart:]))
+    keep_full = full[0, ref_frames * hop :]
+    keep_sliced = sliced[0, (ref_frames - vstart) * hop :]
+    assert keep_full.shape == keep_sliced.shape
+    scale = np.abs(keep_full).max() + 1e-9
+    np.testing.assert_allclose(keep_sliced / scale, keep_full / scale, atol=2e-5)
+
+
+def test_generate_with_long_reference_uses_slice_path(tiny_wrapper):
+    """A reference longer than the vocode margin exercises vocode_start > 0."""
+    w = tiny_wrapper
+    t = np.arange(int(SR * 0.8)) / SR  # ~75 frames > 48-frame margin
+    ref_wav = (0.2 * np.sin(2 * np.pi * 200 * t)).astype(np.float32)
+    w.preprocess_reference(ref_audio=ref_wav, ref_sample_rate=SR,
+                           ref_text="a slightly longer reference text")
+    assert w.ref.n_frames > 48
+    wave = w.generate("short test.", nfe_step=2, seed=3, return_numpy=True,
+                      use_pinyin=False)
+    assert wave.ndim == 1 and len(wave) > 0 and np.isfinite(wave).all()
