@@ -22,6 +22,7 @@ from __future__ import annotations
 import asyncio
 import io
 import json
+import os
 import tempfile
 import time
 import traceback
@@ -172,7 +173,9 @@ class TTSServer:
         if not text.strip():
             await _respond_json(writer, 400, {"detail": "text is required"})
             return
-        ref_id = req.get("reference_id")
+        # `speaker` is the reference client's field name (`client.html:454`);
+        # `reference_id` matches the upload response — accept both.
+        ref_id = req.get("reference_id", req.get("speaker"))
         ref = None
         if ref_id is not None:
             ref = self.references.get(ref_id)
@@ -216,6 +219,8 @@ class TTSServer:
                                         self.config.sway_sampling_coef)
                             ),
                             seed=req.get("seed"),
+                            cross_fade_duration=float(
+                                req.get("cross_fade_duration", 0.15)),
                             return_numpy=True,
                         ),
                         timeout=self.config.generation_timeout,
@@ -359,22 +364,20 @@ def _parse_multipart(content_type: str, body: bytes) -> dict[str, bytes | str]:
     return fields
 
 
-_CLIENT_HTML = """<!doctype html>
-<html><head><title>EraXviF5TTS-TPU</title></head>
-<body><h2>EraXviF5TTS-TPU streaming demo</h2>
-<textarea id=t rows=4 cols=60>Xin chào!</textarea><br>
-<button onclick="go()">Speak</button><audio id=a controls></audio>
-<script>
-async function go(){
-  const r = await fetch('/tts/stream', {method:'POST',
-    headers:{'content-type':'application/json'},
-    body: JSON.stringify({text: document.getElementById('t').value})});
-  const blob = await r.blob();
-  document.getElementById('a').src = URL.createObjectURL(blob);
-  document.getElementById('a').play();
-}
-</script></body></html>
-"""
+def _load_client_html() -> str:
+    """The full streaming client page (parity surface of the reference
+    `src/streaming/client.html`, with true chunked Web Audio playback)."""
+    path = os.path.join(os.path.dirname(__file__), "client.html")
+    try:
+        with open(path, encoding="utf-8") as f:
+            return f.read()
+    except OSError:
+        return ("<!doctype html><html><body><h2>EraXviF5TTS-TPU</h2>"
+                "<p>client.html missing from the package; POST /tts/stream "
+                "directly.</p></body></html>")
+
+
+_CLIENT_HTML = _load_client_html()
 
 
 def main():

@@ -202,3 +202,36 @@ def test_wave_header_and_pcm():
     assert header[:4] == b"RIFF" and header[8:12] == b"WAVE" and len(header) == 44
     pcm = float_to_int16_bytes(np.asarray([0.0, 1.0, -1.0]))
     assert np.frombuffer(pcm, "<i2").tolist() == [0, 32767, -32767]
+
+
+def test_http_root_serves_full_client(http_port):
+    """GET / serves the real streaming client page (serving/client.html), not
+    the fallback shim; it must reference every endpoint it drives."""
+    conn = http.client.HTTPConnection("127.0.0.1", http_port, timeout=30)
+    conn.request("GET", "/")
+    resp = conn.getresponse()
+    page = resp.read().decode("utf-8")
+    assert resp.status == 200
+    assert "EraXviF5TTS-TPU streaming client" in page
+    for endpoint in ("/tts/stream", "/upload_reference", "/references", "/health"):
+        assert endpoint in page, endpoint
+    # the improvement over the reference page: chunk-streaming playback
+    assert "getReader" in page and "AudioContext" in page
+
+
+def test_http_speaker_alias_and_crossfade(http_port):
+    """`speaker` (reference client field name) selects the reference like
+    `reference_id`; cross_fade_duration is accepted."""
+    conn = http.client.HTTPConnection("127.0.0.1", http_port, timeout=600)
+    body = json.dumps({"text": "alias check.", "speaker": "default",
+                       "nfe_step": 2, "seed": 0, "cross_fade_duration": 0.05})
+    conn.request("POST", "/tts/stream", body=body,
+                 headers={"content-type": "application/json"})
+    resp = conn.getresponse()
+    data = resp.read()
+    assert resp.status == 200 and data[:4] == b"RIFF" and len(data) > 1044
+    # unknown speaker still 404s through the alias path
+    conn.request("POST", "/tts/stream",
+                 body=json.dumps({"text": "x", "speaker": "missing"}),
+                 headers={"content-type": "application/json"})
+    assert conn.getresponse().status == 404
