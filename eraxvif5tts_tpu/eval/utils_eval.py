@@ -140,13 +140,39 @@ def get_inference_prompt(
 # WER
 
 
-_PUNCT_RE = re.compile(rf"[{re.escape(string.punctuation)}]")
+# ASCII + CJK punctuation (reference strips `zhon.hanzi.punctuation +
+# string.punctuation`, `utils_eval.py:322-330`; the CJK set is reproduced here
+# natively so zh WER needs no extra dependency): full/half-width stops, ideographic
+# comma, corner/lenticular brackets, wave dash, middle dot, fullwidth forms.
+_CJK_PUNCT = (
+    "、。〈〉《》「」『』"
+    "【】〔〕〜・—‘’“”"
+    "…·！＂＃＄％＆＇（）"
+    "＊＋，－．／：；＜＝＞"
+    "？＠［＼］＾＿｀｛｜｝～"
+)
+_PUNCT_RE = re.compile(rf"[{re.escape(string.punctuation + _CJK_PUNCT)}]")
+
+
+def _to_simplified(text: str) -> str:
+    """Traditional -> simplified, matching the reference's `zhconv.convert(hypo,
+    "zh-cn")` (`utils_eval.py:324`). Gated: without ``zhconv`` installed the text
+    passes through unchanged (ASR output is usually already simplified)."""
+    try:
+        import zhconv  # type: ignore
+
+        return zhconv.convert(text, "zh-cn")
+    except ImportError:
+        return text
 
 
 def normalize_text(text: str, language: str = "en") -> list[str]:
+    """Tokens for WER. en: lowercase words; zh: simplified-form characters
+    (reference scores zh per character after traditional->simplified conversion
+    and punctuation strip, `utils_eval.py:322-338`)."""
     text = _PUNCT_RE.sub(" ", text.lower())
     if language == "zh":
-        return [c for c in text if not c.isspace()]
+        return [c for c in _to_simplified(text) if not c.isspace()]
     return text.split()
 
 
@@ -187,6 +213,42 @@ def _ordered_pool_map(fn, items, num_workers: int):
         return list(pool.map(fn, items))
 
 
+def load_asr_fn(language: str, ckpt_dir: str = "") -> Callable[[str], str]:
+    """ASR backend per language (reference ``load_asr_model``,
+    `utils_eval.py:283-300`): zh -> funasr paraformer-zh (Seed-TTS setting),
+    en -> Whisper via the transformers pipeline. Both are LOUDLY gated — the
+    backends need model weights (and for zh the ``funasr`` package); in
+    zero-egress environments pass your own ``asr_fn`` instead."""
+    if language == "zh":
+        try:
+            from funasr import AutoModel  # type: ignore
+        except ImportError as e:
+            raise ImportError(
+                "zh WER uses the funasr paraformer-zh backend (reference "
+                "utils_eval.py:283-292); `pip install funasr` and point ckpt_dir "
+                "at the paraformer-zh weights, or pass asr_fn=... with your own "
+                "transcriber"
+            ) from e
+        model = AutoModel(
+            model=os.path.join(ckpt_dir, "paraformer-zh") if ckpt_dir else "paraformer-zh",
+            disable_update=True,
+        )
+
+        def asr_fn(path: str) -> str:
+            res = model.generate(input=path, batch_size_s=300, disable_pbar=True)
+            return _to_simplified(res[0]["text"])
+
+        return asr_fn
+    if language == "en":
+        from eraxvif5tts_tpu.infer.utils_infer import transcribe
+
+        return lambda p: transcribe(p, language="en")
+    raise NotImplementedError(
+        f"language {language!r}: reference supports 'zh' (paraformer) and 'en' "
+        "(whisper) only (`utils_eval.py:313-317`); pass asr_fn=... for others"
+    )
+
+
 def run_asr_wer(
     pairs: list[tuple[str, str]],  # (wav_path, truth_text)
     language: str = "en",
@@ -194,12 +256,10 @@ def run_asr_wer(
     num_workers: int = 1,
 ) -> list[dict]:
     """Transcribe + WER per utterance (`utils_eval.py:305-373`). ``asr_fn`` defaults
-    to the transformers Whisper pipeline (needs model weights available locally).
+    to the per-language backend from ``load_asr_fn`` (zh: paraformer, en: whisper).
     ``num_workers > 1`` scores utterances through a thread pool (order preserved)."""
     if asr_fn is None:
-        from eraxvif5tts_tpu.infer.utils_infer import transcribe
-
-        asr_fn = lambda p: transcribe(p, language=language)  # noqa: E731
+        asr_fn = load_asr_fn(language)
 
     def score(pair):
         wav_path, truth = pair

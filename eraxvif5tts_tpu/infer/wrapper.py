@@ -229,10 +229,14 @@ class F5TTSWrapper:
         else:
             self.params = jax.device_put(self.params)
 
+        # vocoder follows the serving compute dtype (params stay fp32; LN stats
+        # and the ISTFT head remain fp32 inside the module) — measured 'round 3,
+        # the fp32 ConvNeXt stack was a significant slice of generate() wall.
         self.vocoder = Vocos(
             input_channels=cfg.mel_spec.n_mel_channels,
             n_fft=cfg.mel_spec.n_fft,
             hop_length=cfg.mel_spec.hop_length,
+            dtype=cdtype,
         )
         if vocoder_params is not None:
             self.vocoder_params = vocoder_params

@@ -230,3 +230,62 @@ def test_parallel_scoring_order_and_prompt_cache(tmp_path):
     # 8 gen embeddings + exactly one prompt embedding
     assert calls.count("prompt.wav") == 1
     assert len(calls) == 9
+
+
+def test_zh_wer_normalization_and_fake_asr(tmp_path):
+    """zh WER is char-level after ASCII+CJK punctuation strip (reference
+    `utils_eval.py:322-338`); the whole run_asr_wer path works with an injected
+    asr_fn (paraformer gated offline)."""
+    from eraxvif5tts_tpu.eval.utils_eval import (
+        load_asr_fn, normalize_text, word_error_rate, run_asr_wer)
+
+    # CJK + ASCII punctuation vanish; characters split individually
+    assert normalize_text("你好，世界。Hello!", "zh") == list("你好世界hello")
+    assert normalize_text("「引用」：测试…！", "zh") == list("引用测试")
+    # char-level WER: one substitution over four chars
+    assert word_error_rate("你好世界", "你好世间", language="zh") == 0.25
+    assert word_error_rate("你好。", "你好", language="zh") == 0.0
+
+    results = run_asr_wer([("a.wav", "你好，世界"), ("b.wav", "今天天气")],
+                          language="zh",
+                          asr_fn=lambda p: {"a.wav": "你好世界。",
+                                            "b.wav": "今天天气很好"}[p])
+    assert results[0]["wer"] == 0.0
+    assert results[1]["wer"] == 0.5  # two insertions over four ref chars
+
+    # the paraformer backend is gated with a loud, actionable error
+    import pytest as _pytest
+    with _pytest.raises((ImportError, NotImplementedError)):
+        load_asr_fn("zh")
+    with _pytest.raises(NotImplementedError):
+        load_asr_fn("fr")
+
+
+def test_eval_utmos_dir_with_injected_scorer(tmp_path):
+    """eval_utmos_dir's threading + jsonl + summary math, exercised offline with
+    a fake utmos_fn (the torch.hub backend needs egress)."""
+    import json
+    import wave as wave_mod
+
+    from eraxvif5tts_tpu.eval.scorers import eval_utmos_dir
+
+    gen_dir = tmp_path / "gen"
+    gen_dir.mkdir()
+    for i in range(5):
+        with wave_mod.open(str(gen_dir / f"utt{i}.wav"), "wb") as f:
+            f.setnchannels(1); f.setsampwidth(2); f.setframerate(24000)
+            f.writeframes(b"\x00\x00" * 240)
+
+    scores = {f"utt{i}.wav": 3.0 + 0.1 * i for i in range(5)}
+    out = tmp_path / "utmos.jsonl"
+    summary = eval_utmos_dir(str(gen_dir), out_jsonl=str(out),
+                             utmos_fn=lambda p: scores[os.path.basename(p)])
+    assert summary["n"] == 5
+    assert abs(summary["utmos_mean"] - 3.2) < 1e-9
+
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 6  # 5 rows + summary
+    # rows are sorted by filename and carry per-wav scores
+    assert [l["wav"] for l in lines[:5]] == [f"utt{i}.wav" for i in range(5)]
+    assert lines[2]["utmos"] == 3.2
+    assert lines[5] == summary
