@@ -198,13 +198,18 @@ class AdaLayerNorm(nn.Module):
 
     The modulation linear is zero-initialized (`backbones/dit.py:162-167`) so a fresh
     DiT block is an identity + zero-gated residual.
+
+    ``skip_norm=True`` (serving fusion) returns the six raw modulation vectors
+    without touching ``x`` — the LN + modulate runs inside the fused projection
+    kernel (`ops/fused_matmul.ln_mod_matmul`). The LN here is scale/bias-free,
+    so skipping it declares no fewer params.
     """
 
     dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray):
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, skip_norm: bool = False):
         mod = nn.Dense(
             self.dim * 6,
             kernel_init=nn.initializers.zeros,
@@ -213,9 +218,29 @@ class AdaLayerNorm(nn.Module):
             name="linear",
         )(nn.silu(emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
+        if skip_norm:
+            return scale_msa, shift_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
         normed = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)(x)
         out = normed * (1 + scale_msa[:, None]) + shift_msa[:, None]
         return out, gate_msa, shift_mlp, scale_mlp, gate_mlp
+
+
+class DenseParams(nn.Module):
+    """Declares ``kernel``/``bias`` with nn.Dense's exact param schema and
+    default initializers, for paths that feed the raw weights to a fused Pallas
+    kernel instead of calling the layer. Sharing a scope name with an nn.Dense
+    used on another (statically selected) branch yields an identical checkpoint
+    tree either way."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.in_features, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
 
 
 class AdaLayerNormFinal(nn.Module):
@@ -262,9 +287,32 @@ class FeedForward(nn.Module):
     quantized: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True,
+                 fused_adaln: Optional[tuple] = None,
+                 fused_gate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
         inner = int(self.dim * self.mult)
         dense = _dense(self.quantized)
+        if fused_adaln is not None:
+            # serving fusion (see Attention.__call__): x is the pre-norm
+            # residual stream; LN+modulate+GELU fold into project_in, the
+            # gated residual folds into project_out
+            from eraxvif5tts_tpu.ops.fused_matmul import (
+                ln_mod_matmul,
+                matmul_gate_res,
+            )
+
+            w_in, b_in = DenseParams(self.dim, inner, name="project_in")()
+            w_out, b_out = DenseParams(inner, self.dim_out or self.dim,
+                                       name="project_out")()
+            ln_scale, ln_shift = fused_adaln
+            h = ln_mod_matmul(x.astype(self.dtype), ln_scale.astype(self.dtype),
+                              ln_shift.astype(self.dtype),
+                              w_in.astype(self.dtype), b_in.astype(self.dtype),
+                              activation="gelu_tanh")
+            return matmul_gate_res(h, w_out.astype(self.dtype),
+                                   b_out.astype(self.dtype),
+                                   fused_gate.astype(self.dtype),
+                                   x.astype(self.dtype))
         x = dense(inner, dtype=self.dtype, name="project_in")(x)
         x = nn.gelu(x, approximate=True)
         if not deterministic and self.dropout > 0.0:
@@ -295,19 +343,43 @@ class Attention(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         rope: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        fused_adaln: Optional[tuple] = None,
+        fused_gate: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """``mask [b, n]`` marks VALID positions and MUST be a contiguous
         prefix (``lens_to_mask`` shape): the Pallas serving/training kernels
         reduce it to per-sample lengths via ``sum(mask)``, so a mask with
         mid-sequence holes would silently attend over the holes. All current
         callers build masks with ``lens_to_mask``; a future caller needing
-        holes must route through ``implementation="xla"``."""
+        holes must route through ``implementation="xla"``.
+
+        Serving fusion (both args set by ``DiTBlock`` when
+        ``dit_block_fusion_ok``): ``fused_adaln=(scale, shift)`` makes ``x`` the
+        PRE-norm residual stream — the AdaLN-zero LN+modulate runs inside one
+        packed q|k|v projection kernel — and ``fused_gate`` folds
+        ``x + gate * to_out(attn)`` (with padded rows passing ``x`` through,
+        matching the unfused path's masked output) into the out-projection.
+        The return value is then the updated residual stream."""
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
         dense = _dense(self.quantized)
-        q = dense(inner, dtype=self.dtype, name="to_q")(x).reshape(b, n, self.heads, self.dim_head)
-        k = dense(inner, dtype=self.dtype, name="to_k")(x).reshape(b, n, self.heads, self.dim_head)
-        v = dense(inner, dtype=self.dtype, name="to_v")(x).reshape(b, n, self.heads, self.dim_head)
+        if fused_adaln is not None:
+            from eraxvif5tts_tpu.ops.fused_matmul import ln_mod_matmul
+
+            wq, bq = DenseParams(self.dim, inner, name="to_q")()
+            wk, bk = DenseParams(self.dim, inner, name="to_k")()
+            wv, bv = DenseParams(self.dim, inner, name="to_v")()
+            w_qkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
+            ln_scale, ln_shift = fused_adaln
+            qkv = ln_mod_matmul(x.astype(self.dtype), ln_scale.astype(self.dtype),
+                                ln_shift.astype(self.dtype), w_qkv, b_qkv)
+            q, k, v = (t.reshape(b, n, self.heads, self.dim_head)
+                       for t in jnp.split(qkv, 3, axis=-1))
+        else:
+            q = dense(inner, dtype=self.dtype, name="to_q")(x).reshape(b, n, self.heads, self.dim_head)
+            k = dense(inner, dtype=self.dtype, name="to_k")(x).reshape(b, n, self.heads, self.dim_head)
+            v = dense(inner, dtype=self.dtype, name="to_v")(x).reshape(b, n, self.heads, self.dim_head)
 
         if self.qk_norm == "rms_norm":
             q = RMSNorm(self.dim_head, name="q_norm")(q)
@@ -372,6 +444,17 @@ class Attention(nn.Module):
                                         rope=rope if fuse_rope else None)
 
         out = out.reshape(b, n, inner)
+        if fused_gate is not None:
+            from eraxvif5tts_tpu.ops.fused_matmul import matmul_gate_res
+
+            wo, bo = DenseParams(inner, self.dim, name="to_out")()
+            lens = (jnp.sum(mask, axis=-1).astype(jnp.int32)
+                    if mask is not None else None)
+            return matmul_gate_res(out, wo.astype(self.dtype),
+                                   bo.astype(self.dtype),
+                                   fused_gate.astype(self.dtype),
+                                   x.astype(self.dtype),
+                                   lens=lens, mask_rows=mask is not None)
         out = dense(self.dim, dtype=self.dtype, name="to_out")(out)
         if not deterministic and self.dropout > 0.0:
             out = hash_dropout(out, self.dropout, self.make_rng("dropout"))
@@ -402,10 +485,16 @@ class DiTBlock(nn.Module):
         rope: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
-            self.dim, dtype=self.dtype, name="attn_norm"
-        )(x, t)
-        attn_out = Attention(
+        from eraxvif5tts_tpu.ops.fused_matmul import dit_block_fusion_ok
+
+        b, n, _ = x.shape
+        fused = (
+            deterministic
+            and not self.quantized
+            and dit_block_fusion_ok(n, self.dim, self.heads * self.dim_head,
+                                    int(self.dim * self.ff_mult), self.dtype)
+        )
+        attn = Attention(
             dim=self.dim,
             heads=self.heads,
             dim_head=self.dim_head,
@@ -415,13 +504,30 @@ class DiTBlock(nn.Module):
             dtype=self.dtype,
             quantized=self.quantized,
             name="attn",
-        )(norm, mask=mask, rope=rope, deterministic=deterministic)
+        )
+        ff = FeedForward(self.dim, mult=self.ff_mult, dropout=self.dropout,
+                         dtype=self.dtype, quantized=self.quantized, name="ff")
+        if fused:
+            # serving path: every standalone elementwise pass (AdaLN
+            # LN+modulate, gate multiply, residual add) folds into the four
+            # projections via `ops/fused_matmul` — same algebra as the unfused
+            # branch below, same param tree (DenseParams shares nn.Dense's
+            # schema), bf16-level numerics (tests/test_fused_serving.py)
+            s_msa, sh_msa, g_msa, sh_mlp, s_mlp, g_mlp = AdaLayerNorm(
+                self.dim, dtype=self.dtype, name="attn_norm"
+            )(x, t, skip_norm=True)
+            x = attn(x, mask=mask, rope=rope, deterministic=True,
+                     fused_adaln=(s_msa, sh_msa), fused_gate=g_msa)
+            return ff(x, deterministic=True,
+                      fused_adaln=(s_mlp, sh_mlp), fused_gate=g_mlp)
+
+        norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
+            self.dim, dtype=self.dtype, name="attn_norm"
+        )(x, t)
+        attn_out = attn(norm, mask=mask, rope=rope, deterministic=deterministic)
         x = x + gate_msa[:, None] * attn_out
 
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype, name="ff_norm")(x)
         norm = norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-        ff_out = FeedForward(self.dim, mult=self.ff_mult, dropout=self.dropout, dtype=self.dtype,
-                             quantized=self.quantized, name="ff")(
-            norm, deterministic=deterministic
-        )
+        ff_out = ff(norm, deterministic=deterministic)
         return x + gate_mlp[:, None] * ff_out

@@ -1,0 +1,114 @@
+"""Fused serving kernels (`ops/fused_matmul.py`): numerics parity with the
+unfused XLA path and param-tree stability of the fused DiTBlock branch.
+
+The reference computes the same DiT-block algebra as separate torch ops
+(`src/f5_tts/model/modules.py:610-641`); here the AdaLN modulate / gate /
+residual elementwise passes fold into the four projections, so these tests
+pin the fused branch to the unfused one exactly (fp32, interpret mode on CPU).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from eraxvif5tts_tpu.models.modules import DiTBlock
+from eraxvif5tts_tpu.ops import fused_matmul as fm
+from eraxvif5tts_tpu.ops.rotary import rotary_freqs
+
+
+def _ln(x, eps=1e-6):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps)
+
+
+def test_ln_mod_matmul_matches_xla():
+    rng = np.random.default_rng(0)
+    b, m, k, n = 2, 64, 128, 384
+    x = jnp.asarray(rng.standard_normal((b, m, k)), jnp.float32)
+    scale = jnp.asarray(0.1 * rng.standard_normal((b, k)), jnp.float32)
+    shift = jnp.asarray(0.1 * rng.standard_normal((b, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)) / np.sqrt(k), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal((n,)), jnp.float32)
+
+    got = fm.ln_mod_matmul(x, scale, shift, w, bias, interpret=True)
+    normed = _ln(x) * (1.0 + scale[:, None]) + shift[:, None]
+    want = normed @ w + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    got_gelu = fm.ln_mod_matmul(x, scale, shift, w, bias,
+                                activation="gelu_tanh", interpret=True)
+    want_gelu = jax.nn.gelu(want, approximate=True)
+    np.testing.assert_allclose(np.asarray(got_gelu), np.asarray(want_gelu),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_matmul_gate_res_masked_rows():
+    rng = np.random.default_rng(1)
+    b, m, k, n = 2, 64, 128, 256
+    h = jnp.asarray(rng.standard_normal((b, m, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)) / np.sqrt(k), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal((n,)), jnp.float32)
+    gate = jnp.asarray(rng.standard_normal((b, n)), jnp.float32)
+    res = jnp.asarray(rng.standard_normal((b, m, n)), jnp.float32)
+    lens = jnp.asarray([64, 40], jnp.int32)
+
+    got = fm.matmul_gate_res(h, w, bias, gate, res, lens=lens,
+                             mask_rows=True, interpret=True)
+    update = gate[:, None, :] * (h @ w + bias)
+    rows = jnp.arange(m)[None, :, None]
+    want = res + jnp.where(rows < lens[:, None, None], update, 0.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # unmasked variant: every row updated
+    got_full = fm.matmul_gate_res(h, w, bias, gate, res, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_full), np.asarray(res + update),
+                               rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("with_mask", [False, True])
+def test_dit_block_fused_matches_unfused(monkeypatch, with_mask):
+    """End-to-end DiTBlock: fused branch == unfused branch on the same params,
+    including padded-row passthrough and rotary."""
+    dim, heads, dim_head, ff_mult = 128, 2, 64, 2
+    b, n = 2, 64
+    block = DiTBlock(dim=dim, heads=heads, dim_head=dim_head, ff_mult=ff_mult,
+                     dropout=0.0, dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((b, n, dim)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, dim)), jnp.float32)
+    rope = rotary_freqs(n, dim_head)
+    mask = (jnp.arange(n)[None, :] < jnp.asarray([[n], [n - 24]])) if with_mask else None
+
+    assert not fm.dit_block_fusion_ok(n, dim, heads * dim_head,
+                                      dim * ff_mult, jnp.float32)
+    params = block.init(jax.random.PRNGKey(0), x, t, mask=mask, rope=rope)
+    want = block.apply(params, x, t, mask=mask, rope=rope)
+
+    monkeypatch.setattr(fm, "_FORCE_FOR_TESTS", True)
+    assert fm.dit_block_fusion_ok(n, dim, heads * dim_head,
+                                  dim * ff_mult, jnp.float32)
+    # identical checkpoint tree whichever branch traced at init
+    params_fused = block.init(jax.random.PRNGKey(0), x, t, mask=mask, rope=rope)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params_fused)
+    for (pa, la), (pb, lb) in zip(
+        jax.tree_util.tree_leaves_with_path(params),
+        jax.tree_util.tree_leaves_with_path(params_fused),
+    ):
+        assert pa == pb and la.shape == lb.shape
+
+    got = block.apply(params, x, t, mask=mask, rope=rope)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_fusion_gate_rejects_unaligned_and_oversized():
+    assert not fm.use_fused_serving(63, 128, 384, jnp.bfloat16)   # m % 8
+    assert not fm.use_fused_serving(64, 120, 384, jnp.bfloat16)   # k % 128
+    assert not fm.use_fused_serving(64, 128, 200, jnp.bfloat16)   # n % 128
+    # big shapes must fall back rather than blow the VMEM budget
+    assert fm._pick_bn(2048, 4096, 2048, 2) is None
