@@ -198,18 +198,13 @@ class AdaLayerNorm(nn.Module):
 
     The modulation linear is zero-initialized (`backbones/dit.py:162-167`) so a fresh
     DiT block is an identity + zero-gated residual.
-
-    ``skip_norm=True`` (serving fusion) returns the six raw modulation vectors
-    without touching ``x`` — the LN + modulate runs inside the fused projection
-    kernel (`ops/fused_matmul.ln_mod_matmul`). The LN here is scale/bias-free,
-    so skipping it declares no fewer params.
     """
 
     dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray, skip_norm: bool = False):
+    def __call__(self, x: jnp.ndarray, emb: jnp.ndarray):
         mod = nn.Dense(
             self.dim * 6,
             kernel_init=nn.initializers.zeros,
@@ -218,8 +213,6 @@ class AdaLayerNorm(nn.Module):
             name="linear",
         )(nn.silu(emb))
         shift_msa, scale_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp = jnp.split(mod, 6, axis=-1)
-        if skip_norm:
-            return scale_msa, shift_msa, gate_msa, shift_mlp, scale_mlp, gate_mlp
         normed = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype)(x)
         out = normed * (1 + scale_msa[:, None]) + shift_msa[:, None]
         return out, gate_msa, shift_mlp, scale_mlp, gate_mlp
@@ -288,18 +281,17 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
-                 fused_adaln: Optional[tuple] = None,
-                 fused_gate: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+                 fused_adaln: Optional[tuple] = None) -> jnp.ndarray:
         inner = int(self.dim * self.mult)
         dense = _dense(self.quantized)
         if fused_adaln is not None:
-            # serving fusion (see Attention.__call__): x is the pre-norm
-            # residual stream; LN+modulate+GELU fold into project_in, the
-            # gated residual folds into project_out
-            from eraxvif5tts_tpu.ops.fused_matmul import (
-                ln_mod_matmul,
-                matmul_gate_res,
-            )
+            # serving fusion: x is the pre-norm residual stream; the AdaLN
+            # LN + modulate + GELU fold into the project_in matmul (the one
+            # hand-fusion that beats XLA at serving shapes — see
+            # ops/fused_matmul.py's ablation). project_out stays a plain
+            # matmul; the caller applies gate+residual, which XLA fuses into
+            # the matmul epilogue on its own.
+            from eraxvif5tts_tpu.ops.fused_matmul import ln_mod_matmul
 
             w_in, b_in = DenseParams(self.dim, inner, name="project_in")()
             w_out, b_out = DenseParams(inner, self.dim_out or self.dim,
@@ -309,10 +301,7 @@ class FeedForward(nn.Module):
                               ln_shift.astype(self.dtype),
                               w_in.astype(self.dtype), b_in.astype(self.dtype),
                               activation="gelu_tanh")
-            return matmul_gate_res(h, w_out.astype(self.dtype),
-                                   b_out.astype(self.dtype),
-                                   fused_gate.astype(self.dtype),
-                                   x.astype(self.dtype))
+            return h @ w_out.astype(self.dtype) + b_out.astype(self.dtype)
         x = dense(inner, dtype=self.dtype, name="project_in")(x)
         x = nn.gelu(x, approximate=True)
         if not deterministic and self.dropout > 0.0:
@@ -343,43 +332,19 @@ class Attention(nn.Module):
         mask: Optional[jnp.ndarray] = None,
         rope: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
-        fused_adaln: Optional[tuple] = None,
-        fused_gate: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """``mask [b, n]`` marks VALID positions and MUST be a contiguous
         prefix (``lens_to_mask`` shape): the Pallas serving/training kernels
         reduce it to per-sample lengths via ``sum(mask)``, so a mask with
         mid-sequence holes would silently attend over the holes. All current
         callers build masks with ``lens_to_mask``; a future caller needing
-        holes must route through ``implementation="xla"``.
-
-        Serving fusion (both args set by ``DiTBlock`` when
-        ``dit_block_fusion_ok``): ``fused_adaln=(scale, shift)`` makes ``x`` the
-        PRE-norm residual stream — the AdaLN-zero LN+modulate runs inside one
-        packed q|k|v projection kernel — and ``fused_gate`` folds
-        ``x + gate * to_out(attn)`` (with padded rows passing ``x`` through,
-        matching the unfused path's masked output) into the out-projection.
-        The return value is then the updated residual stream."""
+        holes must route through ``implementation="xla"``."""
         b, n, _ = x.shape
         inner = self.heads * self.dim_head
         dense = _dense(self.quantized)
-        if fused_adaln is not None:
-            from eraxvif5tts_tpu.ops.fused_matmul import ln_mod_matmul
-
-            wq, bq = DenseParams(self.dim, inner, name="to_q")()
-            wk, bk = DenseParams(self.dim, inner, name="to_k")()
-            wv, bv = DenseParams(self.dim, inner, name="to_v")()
-            w_qkv = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
-            b_qkv = jnp.concatenate([bq, bk, bv]).astype(self.dtype)
-            ln_scale, ln_shift = fused_adaln
-            qkv = ln_mod_matmul(x.astype(self.dtype), ln_scale.astype(self.dtype),
-                                ln_shift.astype(self.dtype), w_qkv, b_qkv)
-            q, k, v = (t.reshape(b, n, self.heads, self.dim_head)
-                       for t in jnp.split(qkv, 3, axis=-1))
-        else:
-            q = dense(inner, dtype=self.dtype, name="to_q")(x).reshape(b, n, self.heads, self.dim_head)
-            k = dense(inner, dtype=self.dtype, name="to_k")(x).reshape(b, n, self.heads, self.dim_head)
-            v = dense(inner, dtype=self.dtype, name="to_v")(x).reshape(b, n, self.heads, self.dim_head)
+        q = dense(inner, dtype=self.dtype, name="to_q")(x).reshape(b, n, self.heads, self.dim_head)
+        k = dense(inner, dtype=self.dtype, name="to_k")(x).reshape(b, n, self.heads, self.dim_head)
+        v = dense(inner, dtype=self.dtype, name="to_v")(x).reshape(b, n, self.heads, self.dim_head)
 
         if self.qk_norm == "rms_norm":
             q = RMSNorm(self.dim_head, name="q_norm")(q)
@@ -444,17 +409,6 @@ class Attention(nn.Module):
                                         rope=rope if fuse_rope else None)
 
         out = out.reshape(b, n, inner)
-        if fused_gate is not None:
-            from eraxvif5tts_tpu.ops.fused_matmul import matmul_gate_res
-
-            wo, bo = DenseParams(inner, self.dim, name="to_out")()
-            lens = (jnp.sum(mask, axis=-1).astype(jnp.int32)
-                    if mask is not None else None)
-            return matmul_gate_res(out, wo.astype(self.dtype),
-                                   bo.astype(self.dtype),
-                                   fused_gate.astype(self.dtype),
-                                   x.astype(self.dtype),
-                                   lens=lens, mask_rows=mask is not None)
         out = dense(self.dim, dtype=self.dtype, name="to_out")(out)
         if not deterministic and self.dropout > 0.0:
             out = hash_dropout(out, self.dropout, self.make_rng("dropout"))
@@ -507,25 +461,24 @@ class DiTBlock(nn.Module):
         )
         ff = FeedForward(self.dim, mult=self.ff_mult, dropout=self.dropout,
                          dtype=self.dtype, quantized=self.quantized, name="ff")
-        if fused:
-            # serving path: every standalone elementwise pass (AdaLN
-            # LN+modulate, gate multiply, residual add) folds into the four
-            # projections via `ops/fused_matmul` — same algebra as the unfused
-            # branch below, same param tree (DenseParams shares nn.Dense's
-            # schema), bf16-level numerics (tests/test_fused_serving.py)
-            s_msa, sh_msa, g_msa, sh_mlp, s_mlp, g_mlp = AdaLayerNorm(
-                self.dim, dtype=self.dtype, name="attn_norm"
-            )(x, t, skip_norm=True)
-            x = attn(x, mask=mask, rope=rope, deterministic=True,
-                     fused_adaln=(s_msa, sh_msa), fused_gate=g_msa)
-            return ff(x, deterministic=True,
-                      fused_adaln=(s_mlp, sh_mlp), fused_gate=g_mlp)
-
         norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
             self.dim, dtype=self.dtype, name="attn_norm"
         )(x, t)
         attn_out = attn(norm, mask=mask, rope=rope, deterministic=deterministic)
         x = x + gate_msa[:, None] * attn_out
+
+        if fused:
+            # serving path: the FF half's LN + modulate + GELU fold into the
+            # project_in matmul (`ops/fused_matmul.ln_mod_matmul`). ONLY this
+            # projection is hand-fused: measured on hardware
+            # (`benchmarks/fused_kernel_bench.py`), it is the one place XLA
+            # leaves real time on the table (69 -> 21 us at serving shapes),
+            # while the packed-qkv and out-projection+gate+residual fusions
+            # both LOSE to XLA's own epilogue fusion — see fused_matmul.py's
+            # module docstring for the ablation.
+            ff_out = ff(x, deterministic=True,
+                        fused_adaln=(scale_mlp, shift_mlp))
+            return x + gate_mlp[:, None] * ff_out
 
         norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype, name="ff_norm")(x)
         norm = norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
