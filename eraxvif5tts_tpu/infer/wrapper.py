@@ -97,6 +97,7 @@ class F5TTSWrapper:
         use_duration_predictor: bool = False,
         duration_predictor_ckpt: Optional[str] = None,
         compute_dtype: str = "float32",
+        int8_validate: bool = False,
         params: Optional[dict] = None,
         vocoder_params: Optional[dict] = None,
         model_cfg: Optional[ModelConfig] = None,
@@ -209,11 +210,36 @@ class F5TTSWrapper:
         if compute_dtype == "int8" and params is None:
             from eraxvif5tts_tpu.ops.quant import quantize_params
 
+            fp_params = self.params
             self.params = quantize_params(self.params)
             self.params = jax.tree.map(
                 lambda p: p.astype(cdtype) if p.dtype == jnp.float32 and p.ndim > 1 else p,
                 self.params,
             )  # bf16 for the remaining fp matrices; scales/biases stay fp32
+            if int8_validate:
+                # quality gate (hard error path): int8 must stay within the
+                # documented divergence bound of the bf16 pipeline over the
+                # same weights. Costs two short extra compiles at load.
+                from eraxvif5tts_tpu.ops.quant import (
+                    INT8_REL_MSE_THRESHOLD,
+                    quant_divergence,
+                )
+
+                fp_cfg = dataclasses.replace(
+                    cfg, arch=dataclasses.replace(cfg.arch, quantized=False))
+                fp_tf = build_backbone(fp_cfg, text_num_embeds,
+                                       compute_dtype=cdtype)
+                report = quant_divergence(
+                    CFM.build(fp_tf, cfg.mel_spec), jax.device_put(fp_params),
+                    self.cfm, jax.device_put(self.params),
+                    steps=8, max_duration=256)
+                if not report["passes_gate"]:
+                    raise ValueError(
+                        f"int8 quality gate failed: rel mel-MSE "
+                        f"{report['rel_mse']:.4f} > {INT8_REL_MSE_THRESHOLD} "
+                        f"(lsd {report['lsd_db']:.2f} dB) — serve with "
+                        "compute_dtype='bfloat16' instead, or re-run "
+                        "benchmarks/quant_quality.py for the full report")
         elif compute_dtype == "bfloat16":
             self.params = jax.tree.map(lambda p: p.astype(cdtype), self.params)
         # Imported checkpoints arrive as HOST numpy leaves; without an explicit

@@ -95,3 +95,79 @@ def quantize_params(params, suffixes: tuple[str, ...] = _QUANT_SUFFIXES):
         return tree
 
     return walk(params, "")
+
+
+# ---------------------------------------------------------------------------
+# quality gate: int8 must stay within a bounded divergence from the bf16 path
+# over the SAME weights (no reference number exists — the reference has no
+# quantized path; the gate guards against silent quantization failure).
+
+# 5% relative mel-MSE: bf16-vs-fp32 of the same pipeline sits near 1e-3 at
+# serving shapes, so exceeding 5e-2 flags genuine quantization breakage.
+INT8_REL_MSE_THRESHOLD = 5e-2
+
+
+def _fixed_inputs(cfm, max_duration: int = 512, text_len: int = 32,
+                  prompt_frames: int = 128):
+    """Deterministic (cond, text, duration, lens) fixture shared by the quality
+    gate and `benchmarks/quant_quality.py`."""
+    d = cfm.num_channels
+    vocab = min(getattr(cfm.transformer, "text_num_embeds", 100), 100)
+    kc, kt = jax.random.split(jax.random.key(7))
+    cond = 0.3 * jax.random.normal(kc, (1, prompt_frames, d), jnp.float32)
+    text = jnp.pad(
+        jax.random.randint(kt, (1, text_len), 0, vocab),
+        ((0, 0), (0, 8)), constant_values=-1)
+    duration = jnp.asarray([max_duration - 64])
+    lens = jnp.asarray([prompt_frames])
+    return cond, text, duration, lens
+
+
+def quant_divergence(cfm_bf16, params_bf16, cfm_int8, params_int8,
+                     steps: int = 16, max_duration: int = 512,
+                     text_len: int = 32, prompt_frames: int = 128) -> dict:
+    """int8-vs-bf16 divergence on a fixed prompt/seed: relative mel MSE over
+    the generated region, log-spectral distance (dB), and single-forward
+    relative MSE. ``passes_gate`` applies :data:`INT8_REL_MSE_THRESHOLD`."""
+    import numpy as np
+
+    cond, text, duration, lens = _fixed_inputs(
+        cfm_bf16, max_duration, text_len, prompt_frames)
+
+    outs = {}
+    for name, cfm, params in (("bf16", cfm_bf16, params_bf16),
+                              ("int8", cfm_int8, params_int8)):
+        mel = cfm.sample(params, cond, text, duration, lens, jax.random.key(3),
+                         steps=steps, max_duration=max_duration)
+        outs[name] = np.asarray(mel[0, prompt_frames:max_duration - 64],
+                                np.float64)
+
+    a, b = outs["int8"], outs["bf16"]
+    rel_mse = float(np.mean((a - b) ** 2) / max(np.mean(b * b), 1e-12))
+    # mels are log-magnitude already: LSD = rms frame-wise dB difference
+    lsd_db = float(np.mean(np.sqrt(np.mean((20 / np.log(10) * (a - b)) ** 2,
+                                           axis=-1))))
+
+    x_in = 0.5 * jax.random.normal(jax.random.key(11),
+                                   (1, max_duration, cfm_bf16.num_channels),
+                                   jnp.float32)
+    cond_full = jnp.pad(cond, ((0, 0), (0, max_duration - prompt_frames),
+                               (0, 0)))
+    fwd = {}
+    for name, cfm, params in (("bf16", cfm_bf16, params_bf16),
+                              ("int8", cfm_int8, params_int8)):
+        apply = jax.jit(lambda p, cfm=cfm: cfm.transformer.apply(
+            {"params": p},
+            x_in, cond_full, text, jnp.full((1,), 0.5),
+            drop_audio_cond=jnp.zeros((1,), bool),
+            drop_text=jnp.zeros((1,), bool),
+            mask=jnp.arange(max_duration)[None, :] < (max_duration - 64),
+        ))
+        fwd[name] = np.asarray(apply(params), np.float64)
+    forward_rel_mse = float(
+        np.mean((fwd["int8"] - fwd["bf16"]) ** 2)
+        / max(np.mean(fwd["bf16"] ** 2), 1e-12))
+
+    return {"rel_mse": rel_mse, "lsd_db": lsd_db,
+            "forward_rel_mse": forward_rel_mse,
+            "passes_gate": rel_mse <= INT8_REL_MSE_THRESHOLD}

@@ -80,3 +80,30 @@ def test_int8_rejected_for_non_dit_backbones():
     with pytest.raises(ValueError, match="int8.*DiT"):
         F5TTSWrapper(model_name="E2TTS_Base", compute_dtype="int8",
                      vocab_char_map={"a": 0, "b": 1})
+
+
+def test_int8_quality_gate_hard_error_path(monkeypatch):
+    """`int8_validate=True` runs `quant_divergence` (int8 vs bf16 over the same
+    weights, fixed prompt/seed) and refuses to serve when the divergence bound
+    is exceeded (`infer/wrapper.py`; no reference counterpart — the reference
+    has no quantized path, so the gate guards against silent breakage)."""
+    import pytest
+
+    from eraxvif5tts_tpu.configs import ModelConfig
+    from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
+    from eraxvif5tts_tpu.ops import quant
+
+    cfg = ModelConfig(arch=ARCH)
+    vocab = {c: i for i, c in enumerate(" abcdefgh")}
+
+    # impossible bound -> the gate must refuse to serve
+    monkeypatch.setattr(quant, "INT8_REL_MSE_THRESHOLD", -1.0)
+    with pytest.raises(ValueError, match="quality gate failed"):
+        F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab,
+                     compute_dtype="int8", int8_validate=True)
+
+    # permissive bound -> serves; same compiled programs, so this is cheap
+    monkeypatch.setattr(quant, "INT8_REL_MSE_THRESHOLD", float("inf"))
+    w = F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab,
+                     compute_dtype="int8", int8_validate=True)
+    assert w.params is not None
