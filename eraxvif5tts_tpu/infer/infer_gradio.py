@@ -9,8 +9,12 @@ Tabs mirror the reference app:
 - **Custom model loader** (`infer_gradio.py:71-89, 145-150`): load any
   checkpoint/vocab pair into a fresh wrapper at runtime, cached by path.
 
-The voice-chat tab (reference `:541`, Qwen2.5-3B LLM) is out of scope offline; the
-routing core is exposed as pure functions so it is testable without gradio.
+The voice-chat tab (reference `:541-722`) is implemented around a pluggable
+``chat_fn: (messages) -> str`` — ``load_default_chat_fn()`` builds the
+reference's Qwen2.5-3B-Instruct turn when transformers weights are reachable,
+and any callable with the same signature (an API client, a local server, a test
+fake) plugs straight into ``build_app(wrapper, chat_fn=...)``. The conversation
+core (`ChatSession`) is pure and testable without gradio or an LLM.
 """
 
 from __future__ import annotations
@@ -106,8 +110,98 @@ class ModelSlot:
 
 MAX_SPEECH_TYPES = 8
 
+DEFAULT_SYSTEM_PROMPT = (
+    "You are not an AI assistant, you are whoever the user says you are. You "
+    "must stay in character. Keep your responses concise since they will be "
+    "spoken out loud."
+)  # reference infer_gradio.py:626
 
-def build_app(wrapper: F5TTSWrapper):
+
+@dataclass
+class ChatSession:
+    """Voice-chat conversation state (reference `infer_gradio.py:623-652`).
+
+    ``history`` is the (user, assistant) pair list the UI renders;
+    ``messages`` is the role/content list handed to ``chat_fn``."""
+
+    system_prompt: str = DEFAULT_SYSTEM_PROMPT
+    history: list = field(default_factory=list)
+    messages: list = field(default_factory=list)
+
+    def __post_init__(self):
+        if not self.messages:
+            self.messages = [{"role": "system", "content": self.system_prompt}]
+
+    def process_input(self, text: str, chat_fn) -> Optional[str]:
+        """One chat turn (reference `:632-652`): append the user message, get
+        the assistant reply from ``chat_fn(messages)``. Empty input is a no-op
+        (returns None), matching the reference's early-outs."""
+        text = (text or "").strip()
+        if not text:
+            return None
+        self.messages.append({"role": "user", "content": text})
+        self.history.append((text, None))
+        response = str(chat_fn(self.messages)).strip()
+        self.messages.append({"role": "assistant", "content": response})
+        self.history[-1] = (text, response)
+        return response
+
+    def clear(self) -> None:
+        """Reset conversation, keep the system prompt (reference `:679-686`)."""
+        self.history = []
+        self.messages = [{"role": "system", "content": self.system_prompt}]
+
+    def set_system_prompt(self, prompt: str) -> None:
+        """New system prompt resets the conversation (reference `:688-691`)."""
+        self.system_prompt = prompt
+        self.clear()
+
+
+def load_default_chat_fn(model_name: str = "Qwen/Qwen2.5-3B-Instruct"):
+    """The reference's chat backend (`infer_gradio.py:560-581`): a local
+    Qwen2.5-3B-Instruct via transformers. Raises ImportError/OSError with a
+    clear message when weights are unreachable (offline image) — pass your own
+    ``chat_fn`` to ``build_app`` instead (any ``(messages) -> str`` callable)."""
+    from transformers import AutoModelForCausalLM, AutoTokenizer
+
+    model = AutoModelForCausalLM.from_pretrained(model_name, torch_dtype="auto",
+                                                 device_map="auto")
+    tokenizer = AutoTokenizer.from_pretrained(model_name)
+
+    def chat_fn(messages: list) -> str:
+        prompt = tokenizer.apply_chat_template(
+            messages, tokenize=False, add_generation_prompt=True)
+        inputs = tokenizer(prompt, return_tensors="pt").to(model.device)
+        out = model.generate(**inputs, max_new_tokens=512, temperature=0.7,
+                             top_p=0.95, do_sample=True)
+        return tokenizer.decode(out[0][inputs["input_ids"].shape[1]:],
+                                skip_special_tokens=True).strip()
+
+    return chat_fn
+
+
+def synthesize_chat_response(wrapper: F5TTSWrapper, session: ChatSession,
+                             ref_audio, ref_text: str,
+                             remove_silence: bool = True):
+    """TTS the last assistant reply in the reference voice
+    (reference `generate_audio_response`, `infer_gradio.py:656-676`)."""
+    if not session.history or ref_audio is None:
+        return None
+    _, last_response = session.history[-1]
+    if not last_response:
+        return None
+    ref_audio, ref_text = preprocess_ref_audio_text(ref_audio, ref_text)
+    wave, sr, _ = infer_process(ref_audio, ref_text, last_response, wrapper,
+                                cross_fade_duration=0.15, speed=1.0)
+    wave = np.asarray(wave)
+    if remove_silence:
+        from eraxvif5tts_tpu.audio.silence import remove_silence_edges
+
+        wave = remove_silence_edges(wave, sr)
+    return sr, wave
+
+
+def build_app(wrapper: F5TTSWrapper, chat_fn=None):
     try:
         import gradio as gr
     except ImportError as e:  # pragma: no cover
@@ -200,6 +294,67 @@ def build_app(wrapper: F5TTSWrapper):
             gr.Button("Synthesize").click(
                 multi_tts, [gen_text2, nfe2, seed2, use_custom] + type_fields, out2
             )
+        with gr.Tab("Voice Chat"):
+            gr.Markdown(
+                "Converse with an LLM that answers **in the reference voice**.\n"
+                "Load the chat model (or pass `chat_fn=` to `build_app` for a "
+                "custom backend), record or type a message, and the reply is "
+                "synthesized with the reference audio's voice."
+            )
+            session = ChatSession()
+            chat_state = {"fn": chat_fn}
+
+            def load_chat_model():
+                if chat_state["fn"] is None:
+                    try:
+                        chat_state["fn"] = load_default_chat_fn()
+                    except Exception as e:
+                        return f"chat model unavailable: {e}"
+                return "chat model ready"
+
+            def chat_turn(audio_path, text, ref_audio_c, ref_text_c, remove_sil):
+                if chat_state["fn"] is None:
+                    raise gr.Error("load the chat model first (or launch with "
+                                   "a custom chat_fn)")
+                if audio_path and not (text or "").strip():
+                    # transcribe the spoken message (reference :637-638)
+                    _, text = preprocess_ref_audio_text(audio_path, text or "")
+                if session.process_input(text, chat_state["fn"]) is None:
+                    return session.history, None, ""
+                audio = synthesize_chat_response(
+                    slot.active(False), session, ref_audio_c, ref_text_c,
+                    remove_silence=bool(remove_sil))
+                return session.history, audio, ""
+
+            def clear_chat():
+                session.clear()
+                return [], None
+
+            def set_prompt(p):
+                session.set_system_prompt(p)
+                return []
+
+            ref_audio_c = gr.Audio(label="Reference audio", type="filepath")
+            ref_text_c = gr.Textbox(label="Reference text (empty = auto)")
+            sys_prompt = gr.Textbox(label="System prompt",
+                                    value=DEFAULT_SYSTEM_PROMPT, lines=2)
+            remove_sil_c = gr.Checkbox(label="Remove silences", value=True)
+            load_status = gr.Textbox(label="Chat model status", interactive=False)
+            gr.Button("Load chat model").click(load_chat_model, [], load_status)
+            chatbot = gr.Chatbot(label="Conversation")
+            mic = gr.Audio(sources=["microphone"], type="filepath",
+                           label="Speak your message")
+            msg = gr.Textbox(label="Type your message", lines=1)
+            audio_out_c = gr.Audio(label="Response", autoplay=True)
+            msg.submit(chat_turn,
+                       [mic, msg, ref_audio_c, ref_text_c, remove_sil_c],
+                       [chatbot, audio_out_c, msg])
+            mic.stop_recording(chat_turn,
+                               [mic, msg, ref_audio_c, ref_text_c, remove_sil_c],
+                               [chatbot, audio_out_c, msg])
+            gr.Button("Clear conversation").click(clear_chat, [],
+                                                  [chatbot, audio_out_c])
+            sys_prompt.change(set_prompt, [sys_prompt], [chatbot])
         with gr.Tab("Custom model"):
             ckpt_path = gr.Textbox(label="Checkpoint path (.pt/.safetensors)")
             vocab_path = gr.Textbox(label="Vocab file path (optional)")

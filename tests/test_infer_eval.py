@@ -289,3 +289,55 @@ def test_eval_utmos_dir_with_injected_scorer(tmp_path):
     assert [l["wav"] for l in lines[:5]] == [f"utt{i}.wav" for i in range(5)]
     assert lines[2]["utmos"] == 3.2
     assert lines[5] == summary
+
+
+def test_chat_session_turns_and_reset():
+    """Voice-chat conversation core (reference `infer_gradio.py:623-691`):
+    message bookkeeping, empty-input no-op, clear, system-prompt reset."""
+    from eraxvif5tts_tpu.infer.infer_gradio import ChatSession
+
+    seen = []
+
+    def fake_chat(messages):
+        seen.append([m.copy() for m in messages])
+        return f"reply #{sum(m['role'] == 'user' for m in messages)}"
+
+    s = ChatSession(system_prompt="stay brief.")
+    assert s.messages == [{"role": "system", "content": "stay brief."}]
+    assert s.process_input("  ", fake_chat) is None and s.history == []
+
+    assert s.process_input("hello", fake_chat) == "reply #1"
+    assert s.process_input("again", fake_chat) == "reply #2"
+    assert s.history == [("hello", "reply #1"), ("again", "reply #2")]
+    # chat_fn sees the full running conversation, system prompt first
+    assert seen[1][0]["role"] == "system"
+    assert [m["role"] for m in seen[1]] == ["system", "user", "assistant", "user"]
+
+    s.clear()
+    assert s.history == [] and len(s.messages) == 1
+
+    s.process_input("hi", fake_chat)
+    s.set_system_prompt("new persona")
+    assert s.messages == [{"role": "system", "content": "new persona"}]
+    assert s.history == []
+
+
+def test_chat_response_synthesis(wrapper, ref_wav_path):
+    """The last assistant reply is spoken in the reference voice
+    (reference `generate_audio_response`, `infer_gradio.py:656-676`)."""
+    from eraxvif5tts_tpu.infer.infer_gradio import (
+        ChatSession,
+        synthesize_chat_response,
+    )
+
+    s = ChatSession()
+    # guards: no history / no ref audio / unanswered turn -> None
+    assert synthesize_chat_response(wrapper, s, ref_wav_path, "hello ref. ") is None
+    s.process_input("say hi", lambda m: "hi there.")
+    assert synthesize_chat_response(wrapper, s, None, "hello ref. ") is None
+
+    out = synthesize_chat_response(wrapper, s, ref_wav_path, "hello ref. ",
+                                   remove_silence=False)
+    assert out is not None
+    sr, wave = out
+    assert sr == SR and len(wave) > 0 and np.isfinite(wave).all()
