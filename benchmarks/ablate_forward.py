@@ -92,14 +92,14 @@ def main():
     # -- feedforward -> zero (keeps AdaLN/LN) --------------------------------
     orig_ff = modules.FeedForward.__call__
     modules.FeedForward.__call__ = (
-        lambda self, x, deterministic=True: jnp.zeros_like(x))
+        lambda self, x, deterministic=True, **kw: jnp.zeros_like(x))
     record("no_ff_ms", measure())
     modules.FeedForward.__call__ = orig_ff
 
     # -- qkv+out projections AND attention -> zero block --------------------
     orig_att_call = modules.Attention.__call__
     modules.Attention.__call__ = (
-        lambda self, x, mask=None, rope=None, deterministic=True: jnp.zeros_like(x))
+        lambda self, x, mask=None, rope=None, deterministic=True, **kw: jnp.zeros_like(x))
     record("no_attention_block_ms", measure())
     modules.Attention.__call__ = orig_att_call
 

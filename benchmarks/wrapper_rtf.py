@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def make_checkpoint(path: str) -> None:
+def make_checkpoint(path: str, model_name: str = "F5TTS_v1_Base") -> None:
     import jax
     import torch
 
@@ -30,7 +30,7 @@ def make_checkpoint(path: str) -> None:
     from eraxvif5tts_tpu.models import build_backbone
     from eraxvif5tts_tpu.models.cfm import CFM
 
-    cfg = PRESETS["F5TTS_v1_Base"]
+    cfg = PRESETS[model_name]
     dit = build_backbone(cfg, text_num_embeds=2546)
     cfm = CFM.build(dit, cfg.mel_spec)
     params = jax.device_get(cfm.init_params(jax.random.key(0)))
@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--gen-seconds", type=float, default=8.0,
                     help="fixed generated duration (selects the bucket)")
+    ap.add_argument("--model", default="F5TTS_v1_Base",
+                    help="architecture preset (e.g. E2TTS_Base for the UNetT "
+                         "variant's perf story)")
     args = ap.parse_args()
 
     from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
@@ -64,9 +67,9 @@ def main():
 
     with tempfile.TemporaryDirectory() as td:
         ckpt = os.path.join(td, "model_ema.pt")
-        make_checkpoint(ckpt)
+        make_checkpoint(ckpt, args.model)
         wrapper = F5TTSWrapper(
-            model_name="F5TTS_v1_Base",
+            model_name=args.model,
             ckpt_path=ckpt,
             vocab_char_map=vocab,
             compute_dtype="bfloat16",
@@ -99,13 +102,49 @@ def main():
 
     wall = float(np.median(times))
     rtf = audio_s / wall
+
+    # device-side wall: same call synced with a 2-byte fetch instead of the
+    # full waveform download. Through the axon tunnel a device_get carries a
+    # fixed ~26 ms round trip plus ~8 ms per 384 KB
+    # (`benchmarks/wrapper_latency_split.py`); on a standard PCIe-attached
+    # TPU host the waveform fetch is <1 ms, so that deployment's wall RTF is
+    # this number.
+    import jax
+
+    from eraxvif5tts_tpu.infer.utils import pick_bucket
+    from eraxvif5tts_tpu.infer.wrapper import VOCODE_MARGIN_FRAMES
+    from eraxvif5tts_tpu.text.tokenizer import list_str_to_idx
+
+    ref = wrapper.ref
+    tokens = [list(ref.text + gen_text)]
+    duration = max(wrapper._duration_for(ref, gen_text, 1.0, total_s),
+                   ref.n_frames + 1)
+    bucket = pick_bucket(duration, wrapper.duration_buckets)
+    text_ids = np.asarray(list_str_to_idx(
+        tokens, wrapper.vocab_char_map,
+        pad_to=pick_bucket(len(tokens[0]), wrapper.text_buckets)))
+    dev_times = []
+    for i in range(args.iters):
+        t0 = time.perf_counter()
+        pcm, _ = wrapper._sample_vocode_jit(
+            wrapper.params, wrapper.vocoder_params, ref.mel, text_ids,
+            np.asarray([min(duration, bucket)]), np.asarray([ref.n_frames]),
+            jax.random.key(i), np.float32(1.0), steps=args.nfe,
+            cfg_strength=2.0, sway=-1.0, max_duration=bucket,
+            vocode_start=max(ref.n_frames - VOCODE_MARGIN_FRAMES, 0))
+        np.asarray(pcm[:1, :1])
+        dev_times.append(time.perf_counter() - t0)
+    device_rtf = audio_s / float(np.median(dev_times))
+
     print(json.dumps({
-        "metric": f"wrapper_rtf_nfe{args.nfe}",
+        "metric": f"wrapper_rtf_nfe{args.nfe}"
+                  + ("" if args.model == "F5TTS_v1_Base" else f"_{args.model}"),
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 20.0, 3),
         "audio_s": round(audio_s, 2),
         "wall_ms": round(wall * 1e3, 1),
+        "device_rtf": round(device_rtf, 3),
     }))
 
 

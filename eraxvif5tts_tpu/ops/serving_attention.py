@@ -161,28 +161,51 @@ def _headloop_blocks(n: int, h: int, d: int) -> tuple[int, int]:
     until the fp32 logits tile + hb heads of K/V overflow VMEM (~10 MB usable;
     14 MB fails to compile). hb=8 beats hb=16 (more pipelining headroom)."""
     hb0 = next((c for c in (8, 4, 2, 1) if h % c == 0), 1) if h > 8 else h
-    # fat q blocks first (M = bq drives MXU utilization), then as many heads per
-    # program as VMEM allows. Estimate calibrated against Mosaic scoped-vmem
-    # failures: K/V double-buffer across the head grid dim, logits tile on
-    # stack, rope tables always budgeted (fused-rope worst case) —
-    # (4,256)@n=4096+rope reported 17 MB (est 17.25, fails), (8,1024)@1024+rope
-    # compiles (est 13).
+
+    # Estimate calibrated against Mosaic scoped-vmem failures: K/V
+    # double-buffer across the head grid dim, logits tile on stack, rope
+    # tables always budgeted (fused-rope worst case) — (4,256)@n=4096+rope
+    # reported 17 MB (est 17.25, fails), (8,1024)@1024+rope compiles (est 13).
+    # When bq == n the q grid dim has extent 1, so Mosaic does not
+    # double-buffer q/out — budget a single q buffer there.
+    def est(hb: int, bq: int) -> int:
+        kv = hb * n * d * 2 * 2
+        q_blk = hb * bq * d * 2
+        return (2 * kv            # K+V, double-buffered
+                + 2 * n * d * 4   # cos_k/sin_k fp32
+                + bq * n * 4      # fp32 logits tile
+                + (q_blk if bq == n else 2 * q_blk)  # q
+                + q_blk           # output block
+                + 2 * bq * d * 4)  # cos_q/sin_q
+
+    # fat q blocks first (M = bq drives MXU utilization), then as many heads
+    # per program as VMEM allows.
+    best = None
     for bq in range(min(n, 1024), 127, -128):
         if n % bq:
             continue
         for hb in (hb0, hb0 // 2, hb0 // 4, 1):
             if not hb or h % hb:
                 continue
-            kv = hb * n * d * 2 * 2
-            q_blk = hb * bq * d * 2
-            vmem = (2 * kv            # K+V, double-buffered
-                    + 2 * n * d * 4   # cos_k/sin_k fp32
-                    + bq * n * 4      # fp32 logits tile
-                    + 2 * q_blk       # q, double-buffered
-                    + q_blk           # output block
-                    + 2 * bq * d * 4)  # cos_q/sin_q
-            if vmem <= 13 * 1024 * 1024:
-                return hb, bq
+            if est(hb, bq) <= 13 * 1024 * 1024:
+                best = (hb, bq)
+                break
+        if best:
+            break
+    if best is None or best[1] < n // 2:
+        # pathological divisor structure (e.g. n = 9*128 -> best divisor 384):
+        # one fat one-shot q block beats the skinny divisor despite the bigger
+        # logits tile — measured 227 -> 195 us/layer roped at n=1152 (hb=8).
+        # With the single-buffer correction the one-shot estimate may use the
+        # measured 14 MB headroom ((8,1152) est 13.6 compiles; the
+        # (4,256)@4096 failure point, est 17.25, is still rejected).
+        for hb in (hb0, hb0 // 2, hb0 // 4, 1):
+            if not hb or h % hb:
+                continue
+            if est(hb, n) <= 14 * 1024 * 1024:
+                return hb, n
+    if best is not None:
+        return best
     return _blocks(n, h)
 
 

@@ -150,6 +150,11 @@ def test_serving_attention_headloop_fused_rope():
             assert nn % bq == 0 and hh % hb == 0
             kv = hb * nn * 64 * 2 * 2
             q_blk = hb * bq * 64 * 2
-            vmem = (2 * kv + 2 * nn * 64 * 4 + bq * nn * 4 + 3 * q_blk
+            # one-shot q blocks (bq == n) are not double-buffered (extent-1
+            # grid dim) and get the measured 14 MB headroom; divisor blocks
+            # keep the conservative 13 MB double-buffer budget
+            q_bufs = q_blk if bq == nn else 2 * q_blk
+            vmem = (2 * kv + 2 * nn * 64 * 4 + bq * nn * 4 + q_bufs + q_blk
                     + 2 * bq * 64 * 4)
-            assert vmem <= 13 * 1024 * 1024, (nn, hh, hb, bq, vmem)
+            limit = 14 if bq == nn else 13
+            assert vmem <= limit * 1024 * 1024, (nn, hh, hb, bq, vmem)
