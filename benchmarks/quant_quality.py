@@ -80,6 +80,16 @@ def build_pair(smoke: bool, ckpt: str | None):
             long_skip=cfg.arch.long_skip_connection)
     else:
         params = cfm_bf.init_params(jax.random.key(0))
+        # fresh init is DEGENERATE for this comparison: AdaLN-zero gates make
+        # every transformer block's contribution exactly zero, so int8-vs-bf16
+        # divergence measures 0.0 no matter how broken quantization is.
+        # Perturb ALL leaves so each quantized matmul contributes to the
+        # output (documented as noise-perturbed init in the report).
+        leaves, treedef = jax.tree.flatten(params)
+        keys = jax.random.split(jax.random.key(42), len(leaves))
+        leaves = [p + 0.02 * jax.random.normal(k, p.shape, p.dtype)
+                  for p, k in zip(leaves, keys)]
+        params = jax.tree.unflatten(treedef, leaves)
     params = jax.device_put(params)
 
     qcfg = dataclasses.replace(cfg, arch=dataclasses.replace(cfg.arch,
@@ -107,7 +117,7 @@ def main():
     report = quant_divergence(cfm_bf, params, cfm_q, params_q,
                               steps=args.steps,
                               max_duration=256 if args.smoke else 512)
-    report["weights"] = "checkpoint" if args.ckpt else "random-init"
+    report["weights"] = "checkpoint" if args.ckpt else "noise-perturbed-init"
     report["threshold"] = INT8_REL_MSE_THRESHOLD
 
     if args.ecapa_ckpt:
