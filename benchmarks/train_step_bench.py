@@ -29,9 +29,21 @@ def main():
                    choices=["float32", "bfloat16"],
                    help="activation dtype; params/optimizer stay float32")
     p.add_argument("--smoke", action="store_true", help="tiny model, CPU-safe")
+    p.add_argument("--pipeline", action="store_true",
+                   help="ALSO drive steps through the real input pipeline "
+                        "(CustomDataset + DynamicBatchSampler + collate) in "
+                        "three variants — precomputed-mel, audio-path serial, "
+                        "audio-path with num_workers prefetch — to prove the "
+                        "host mel FFT hides under the device step")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (the axon sitecustomize ignores "
+                        "JAX_PLATFORMS env)")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from eraxvif5tts_tpu.configs import ArchConfig
@@ -86,6 +98,92 @@ def main():
         "steps_per_sec": round(1.0 / dt, 4),
         "frames_per_sec": round(frames / dt, 1),
         "batch_frames": frames, "loss": round(loss, 4),
+    }))
+
+    if not args.pipeline:
+        return
+
+    # ---- input-pipeline variants (same jitted step; batches now come through
+    # the REAL dataset machinery the train CLI uses) ----------------------
+    import tempfile
+    import wave as wave_mod
+    from concurrent.futures import ThreadPoolExecutor
+
+    from eraxvif5tts_tpu.training.cli import epoch_batches
+    from eraxvif5tts_tpu.training.dataset import (
+        CustomDataset,
+        DynamicBatchSampler,
+        prefetch_batches,
+    )
+
+    vocab_map = {chr(97 + i): i for i in range(26)}
+    vocab_map[" "] = 26
+    sr = 24000
+    dur_s = args.frames * 256 / sr
+    n_rows = args.batch * (args.steps + 1)
+    text = ("the quick brown fox jumps over the lazy dog " * 40)[:900]
+
+    # train_step donates its state buffers, so ONE state threads through all
+    # variants (copies would triple the ~4 GB param+Adam+EMA footprint and
+    # OOM next to the 9x4096 activations)
+    pstate = state
+
+    def run_pipeline(tag, dataset, workers):
+        nonlocal pstate
+        executor = (ThreadPoolExecutor(max_workers=workers) if workers > 1
+                    else None)
+        sampler = DynamicBatchSampler(
+            [dataset.frame_length(i) for i in range(len(dataset))],
+            frames_threshold=args.batch * (args.frames + 1), random_seed=0)
+        gen = epoch_batches(dataset, sampler, vocab_map, 0, executor=executor)
+        it = prefetch_batches(gen) if workers else gen
+        b0 = next(it)  # warm (first batch prep is not overlapped with anything)
+        pstate, m = trainer.train_step(pstate, b0, jax.random.key(9))
+        float(m["loss"])
+        t0 = time.time()
+        done = 0
+        for bt in it:
+            pstate, m = trainer.train_step(pstate, bt, jax.random.key(10 + done))
+            float(m["loss"])
+            done += 1
+        dt_p = (time.time() - t0) / max(done, 1)
+        if executor is not None:
+            executor.shutdown()
+        print(json.dumps({"metric": f"pipeline_{tag}_seconds",
+                          "value": round(dt_p, 3), "unit": "s/step",
+                          "steps": done}))
+        return dt_p
+
+    mel_frames = args.frames  # all rows the same length -> one static bucket
+    rng_p = np.random.default_rng(1)
+    mel_rows = [{"text": text, "duration": dur_s,
+                 "mel_spec": rng_p.standard_normal(
+                     (mel_frames, mel_dim)).astype(np.float32)}
+                for _ in range(n_rows)]
+    t_mel = run_pipeline(
+        "mel", CustomDataset(mel_rows, preprocessed_mel=True), workers=0)
+
+    with tempfile.TemporaryDirectory() as td:
+        t_ax = np.arange(int(sr * dur_s)) / sr
+        audio_rows = []
+        for i in range(n_rows):
+            path = f"{td}/u{i}.wav"
+            pcm = (0.2 * np.sin(2 * np.pi * (120 + 5 * i) * t_ax)
+                   * 32767).astype(np.int16)
+            with wave_mod.open(path, "wb") as f:
+                f.setnchannels(1); f.setsampwidth(2); f.setframerate(sr)
+                f.writeframes(pcm.tobytes())
+            audio_rows.append({"text": text, "duration": dur_s,
+                               "audio_path": path})
+        ds_audio = CustomDataset(audio_rows)
+        t_serial = run_pipeline("audio_serial", ds_audio, workers=0)
+        t_overlap = run_pipeline("audio_overlap", ds_audio, workers=8)
+
+    print(json.dumps({
+        "metric": "pipeline_overlap_ratio",
+        "value": round(t_overlap / t_mel, 3),
+        "unit": "audio_overlap / precomputed_mel step time (1.0 = fully hidden)",
+        "serial_ratio": round(t_serial / t_mel, 3),
     }))
 
 
