@@ -437,6 +437,21 @@ class F5TTSWrapper:
 
         waves: list[np.ndarray] = []
         mels: list[np.ndarray] = []
+        # Chunk device calls are dispatched asynchronously and fetched AFTER
+        # the next chunk's call is in flight, so the PCM device->host download
+        # of chunk N overlaps chunk N+1's compute (the fetch is a fixed ~26 ms
+        # round trip through the axon tunnel, benchmarks/wrapper_latency_split.py).
+        # The queue is bounded so a very long text holds at most a few pcm+mel
+        # buffers on device.
+        pending: list[tuple] = []
+
+        def drain_one():
+            pcm, out, start, end, n_frames, dur = pending.pop(0)
+            wave_np = np.asarray(pcm[0, start:end]).astype(np.float32) / 32767.0
+            waves.append(wave_np)
+            if return_spectrogram:
+                mels.append(np.asarray(out[0, n_frames:dur]).T)
+
         for chunk in chunks:
             local_speed = 0.3 if len(chunk.encode("utf-8")) < 10 else speed
             full_text = ref.text + chunk
@@ -473,10 +488,12 @@ class F5TTSWrapper:
             )  # pcm [1, (bucket-vstart)*hop] int16, mel [1, bucket, n_mels]
             start = (ref.n_frames - vstart) * self.hop_length
             end = (min(duration, bucket) - vstart) * self.hop_length
-            wave_np = np.asarray(pcm[0, start:end]).astype(np.float32) / 32767.0
-            waves.append(wave_np)
-            if return_spectrogram:
-                mels.append(np.asarray(out[0, ref.n_frames : min(duration, bucket)]).T)
+            pending.append((pcm, out, start, end, ref.n_frames,
+                            min(duration, bucket)))
+            if len(pending) > 3:
+                drain_one()
+        while pending:
+            drain_one()
 
         final = cross_fade_concat(waves, self.target_sample_rate, cross_fade_duration)
         self._last_wave = final
