@@ -123,22 +123,35 @@ def main():
     if args.ecapa_ckpt:
         # decode both mels and embed: SIM = cosine(emb_bf16, emb_int8)
         import jax
+        import jax.numpy as jnp
 
-        from eraxvif5tts_tpu.eval.ecapa_tdnn import load_torch_ecapa
-        from eraxvif5tts_tpu.models.vocos import Vocos
+        import os
+        import tempfile
+
+        from eraxvif5tts_tpu.audio.io import write_wav
+        from eraxvif5tts_tpu.eval.ecapa_tdnn import make_mel_embed_fn
+        from eraxvif5tts_tpu.models.vocos import Vocos, decode_mel
 
         voc = Vocos(input_channels=cfm_bf.num_channels)
-        vparams = jax.device_put(voc.init_params(jax.random.key(1)))
-        embed = load_torch_ecapa(args.ecapa_ckpt)
-        wavs = {}
-        for name, cfm, p in (("bf16", cfm_bf, params), ("int8", cfm_q, params_q)):
-            import jax as _jax
-
-            cond, text, duration, lens = _fixed_inputs(cfm)
-            mel = cfm.sample(p, cond, text, duration, lens, _jax.random.key(3),
-                             steps=args.steps, max_duration=512)
-            wavs[name] = np.asarray(voc.decode(vparams, mel))
-        ea, eb = embed(wavs["int8"]), embed(wavs["bf16"])
+        vparams = jax.jit(voc.init)(
+            jax.random.key(1),
+            jnp.zeros((1, cfm_bf.num_channels, 8)))["params"]
+        decode = jax.jit(lambda mel: decode_mel(voc, vparams,
+                                                mel.swapaxes(1, 2)))
+        embed_fn = make_mel_embed_fn(ckpt_path=args.ecapa_ckpt)
+        embs = {}
+        with tempfile.TemporaryDirectory() as td:
+            for name, cfm, p in (("bf16", cfm_bf, params),
+                                 ("int8", cfm_q, params_q)):
+                cond, text, duration, lens = _fixed_inputs(cfm)
+                mel = cfm.sample(p, cond, text, duration, lens,
+                                 jax.random.key(3), steps=args.steps,
+                                 max_duration=512)
+                wav = np.asarray(decode(mel)[0], np.float32)
+                path = os.path.join(td, f"{name}.wav")
+                write_wav(path, wav, 24000)
+                embs[name] = embed_fn(path)
+        ea, eb = embs["int8"], embs["bf16"]
         report["ecapa_sim"] = float(
             np.dot(ea, eb) / (np.linalg.norm(ea) * np.linalg.norm(eb)))
 

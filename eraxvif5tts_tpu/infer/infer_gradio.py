@@ -301,8 +301,13 @@ def build_app(wrapper: F5TTSWrapper, chat_fn=None):
                 "custom backend), record or type a message, and the reply is "
                 "synthesized with the reference audio's voice."
             )
-            session = ChatSession()
-            chat_state = {"fn": chat_fn}
+            # per-browser-session conversation state (gr.State) — a module
+            # -level ChatSession would interleave concurrent users' chats
+            session_state = gr.State(None)
+            chat_state = {"fn": chat_fn}  # the LLM is process-wide by design
+
+            def _session(s):
+                return s if isinstance(s, ChatSession) else ChatSession()
 
             def load_chat_model():
                 if chat_state["fn"] is None:
@@ -312,7 +317,9 @@ def build_app(wrapper: F5TTSWrapper, chat_fn=None):
                         return f"chat model unavailable: {e}"
                 return "chat model ready"
 
-            def chat_turn(audio_path, text, ref_audio_c, ref_text_c, remove_sil):
+            def chat_turn(s, audio_path, text, ref_audio_c, ref_text_c,
+                          remove_sil):
+                session = _session(s)
                 if chat_state["fn"] is None:
                     raise gr.Error("load the chat model first (or launch with "
                                    "a custom chat_fn)")
@@ -320,19 +327,21 @@ def build_app(wrapper: F5TTSWrapper, chat_fn=None):
                     # transcribe the spoken message (reference :637-638)
                     _, text = preprocess_ref_audio_text(audio_path, text or "")
                 if session.process_input(text, chat_state["fn"]) is None:
-                    return session.history, None, ""
+                    return session, session.history, None, ""
                 audio = synthesize_chat_response(
                     slot.active(False), session, ref_audio_c, ref_text_c,
                     remove_silence=bool(remove_sil))
-                return session.history, audio, ""
+                return session, session.history, audio, ""
 
-            def clear_chat():
+            def clear_chat(s):
+                session = _session(s)
                 session.clear()
-                return [], None
+                return session, [], None
 
-            def set_prompt(p):
+            def set_prompt(s, p):
+                session = _session(s)
                 session.set_system_prompt(p)
-                return []
+                return session, []
 
             ref_audio_c = gr.Audio(label="Reference audio", type="filepath")
             ref_text_c = gr.Textbox(label="Reference text (empty = auto)")
@@ -347,14 +356,18 @@ def build_app(wrapper: F5TTSWrapper, chat_fn=None):
             msg = gr.Textbox(label="Type your message", lines=1)
             audio_out_c = gr.Audio(label="Response", autoplay=True)
             msg.submit(chat_turn,
-                       [mic, msg, ref_audio_c, ref_text_c, remove_sil_c],
-                       [chatbot, audio_out_c, msg])
+                       [session_state, mic, msg, ref_audio_c, ref_text_c,
+                        remove_sil_c],
+                       [session_state, chatbot, audio_out_c, msg])
             mic.stop_recording(chat_turn,
-                               [mic, msg, ref_audio_c, ref_text_c, remove_sil_c],
-                               [chatbot, audio_out_c, msg])
-            gr.Button("Clear conversation").click(clear_chat, [],
-                                                  [chatbot, audio_out_c])
-            sys_prompt.change(set_prompt, [sys_prompt], [chatbot])
+                               [session_state, mic, msg, ref_audio_c,
+                                ref_text_c, remove_sil_c],
+                               [session_state, chatbot, audio_out_c, msg])
+            gr.Button("Clear conversation").click(
+                clear_chat, [session_state],
+                [session_state, chatbot, audio_out_c])
+            sys_prompt.change(set_prompt, [session_state, sys_prompt],
+                              [session_state, chatbot])
         with gr.Tab("Custom model"):
             ckpt_path = gr.Textbox(label="Checkpoint path (.pt/.safetensors)")
             vocab_path = gr.Textbox(label="Vocab file path (optional)")

@@ -19,6 +19,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import dataclasses
+import os
 import random as _random
 from dataclasses import dataclass
 from typing import Optional
@@ -58,6 +59,30 @@ from eraxvif5tts_tpu.text.tokenizer import get_tokenizer, list_str_to_idx
 # is outside the decoder's receptive field: embed conv k7 (+-3) + 8 ConvNeXt
 # dw-convs k7 (+-3 each) + ISTFT center overlap (n_fft/hop = 4) = +-31 frames.
 VOCODE_MARGIN_FRAMES = 48
+
+
+def _load_orbax_backbone_params(path: str, use_ema: bool = True) -> dict:
+    """Backbone params from this framework's own Orbax training checkpoint
+    (a ``model_*`` directory written by ``training/trainer.py checkpoint_save``,
+    holding the full TrainState pytree). Restores WITHOUT a template — the
+    raw pytree comes back as nested dicts — and serves the EMA weights when
+    present (the weights the reference ecosystem ships too)."""
+    import orbax.checkpoint as ocp
+
+    raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    tree = dict(raw) if not isinstance(raw, dict) else raw
+    pick = None
+    if use_ema:
+        ema = tree.get("ema_params")
+        if ema and jax.tree_util.tree_leaves(ema):
+            pick = ema
+    if pick is None:
+        pick = tree.get("params")
+    if not pick or not jax.tree_util.tree_leaves(pick):
+        raise ValueError(
+            f"{path} restored but holds no 'params'/'ema_params' — not a "
+            "TrainState checkpoint from this framework's trainer")
+    return jax.tree.map(np.asarray, pick)
 
 
 @dataclass(frozen=True)
@@ -142,7 +167,25 @@ class F5TTSWrapper:
 
         # Build model; resolve vocab size from map or checkpoint.
         sd = None
-        if ckpt_path is not None:
+        orbax_params = None
+        if ckpt_path is not None and os.path.isdir(ckpt_path):
+            # this framework's OWN training output: an Orbax StandardCheckpointer
+            # directory holding the full TrainState (training/trainer.py
+            # checkpoint_save) — serve the EMA weights (fall back to raw params
+            # for e.g. distill exports that keep ema empty)
+            orbax_params = _load_orbax_backbone_params(ckpt_path, use_ema=use_ema)
+            n_blocks = sum(1 for k_ in orbax_params if k_.startswith("block_"))
+            if n_blocks and n_blocks != cfg.arch.depth:
+                cfg = dataclasses.replace(
+                    cfg, arch=dataclasses.replace(cfg.arch, depth=n_blocks))
+            # embedding row 0 is the filler token (matches torch schema)
+            text_num_embeds = int(
+                orbax_params["text_embed"]["embed"]["embedding"].shape[0]) - 1
+            if self.vocab_char_map and len(self.vocab_char_map) > text_num_embeds:
+                raise ValueError(
+                    f"vocab has {len(self.vocab_char_map)} tokens but the "
+                    f"checkpoint's text embedding holds {text_num_embeds}")
+        elif ckpt_path is not None:
             sd = normalize_reference_state_dict(load_state_dict(ckpt_path), use_ema=use_ema)
             depth = infer_depth(sd) or cfg.arch.depth
             if depth != cfg.arch.depth:
@@ -186,6 +229,8 @@ class F5TTSWrapper:
 
         if params is not None:
             self.params = params
+        elif orbax_params is not None:
+            self.params = orbax_params
         elif sd is not None:
             from eraxvif5tts_tpu.compression.convert import backbone_params_from_torch
 
@@ -452,7 +497,7 @@ class F5TTSWrapper:
             if return_spectrogram:
                 mels.append(np.asarray(out[0, n_frames:dur]).T)
 
-        for chunk in chunks:
+        for chunk_i, chunk in enumerate(chunks):
             local_speed = 0.3 if len(chunk.encode("utf-8")) < 10 else speed
             full_text = ref.text + chunk
             tokens = (
@@ -478,7 +523,11 @@ class F5TTSWrapper:
                 jnp.asarray(text_ids),
                 jnp.asarray([min(duration, bucket)]),
                 jnp.asarray([ref.n_frames]),
-                key,
+                # fresh noise per chunk (the reference draws new randomness
+                # for every chunk too); the fold keeps chunk 0 of a 1-chunk
+                # request distinct from the shared key only via chunk_i=0,
+                # and the whole request reproducible from `seed`
+                jax.random.fold_in(key, chunk_i),
                 jnp.asarray(rms_scale, jnp.float32),
                 steps=nfe_step,
                 cfg_strength=float(cfg_strength),

@@ -166,6 +166,10 @@ def ln_mod_matmul(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
     bsz, m, k = x.shape
     n = w.shape[1]
     bn = _pick_bn(n, m, k, x.dtype.itemsize)
+    if bn is None:
+        raise ValueError(
+            f"ln_mod_matmul: no VMEM-feasible output block for shape "
+            f"[{bsz},{m},{k}]x[{k},{n}] — gate callers with use_fused_serving()")
     grid = (bsz, n // bn)
     kernel = functools.partial(_ln_mod_kernel, activation=activation, eps=eps)
     return pl.pallas_call(
@@ -205,6 +209,10 @@ def matmul_gate_res(h: jnp.ndarray, w: jnp.ndarray, bias: jnp.ndarray,
     bsz, m, k = h.shape
     n = w.shape[1]
     bn = _pick_bn(n, m, k, h.dtype.itemsize)
+    if bn is None:
+        raise ValueError(
+            f"matmul_gate_res: no VMEM-feasible output block for shape "
+            f"[{bsz},{m},{k}]x[{k},{n}] — gate callers with use_fused_serving()")
     if lens is None:
         lens = jnp.full((bsz,), m, jnp.int32)
     grid = (bsz, n // bn)

@@ -376,19 +376,24 @@ def prefetch_batches(gen, depth: int = 2):
     stop = threading.Event()
     _END = object()
 
+    def _put(item) -> bool:
+        """Stop-aware bounded put; False when the consumer abandoned us."""
+        while True:
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except _queue.Full:
+                if stop.is_set():
+                    return False
+
     def _run():
         try:
             for item in gen:
-                while True:
-                    try:
-                        q.put(item, timeout=0.2)
-                        break
-                    except _queue.Full:
-                        if stop.is_set():
-                            return
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as e:  # noqa: BLE001 — propagate to consumer
-            q.put(e)
+            _put(e)
 
     t = threading.Thread(target=_run, daemon=True, name="batch-prefetch")
     t.start()

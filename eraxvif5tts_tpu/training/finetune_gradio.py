@@ -95,6 +95,10 @@ def ui_vocab_check(store: ProjectStore, project: str) -> tuple[str, str]:
     vocab = os.path.join(proj, "vocab.txt")
     if not os.path.isfile(vocab):
         vocab = _default_vocab()
+    if not os.path.isfile(vocab):
+        return "", ("no vocab.txt yet — run Prepare Data first (it writes the "
+                    "project vocab), or copy your base model's vocab file to "
+                    f"{os.path.join(proj, 'vocab.txt')}")
     missing = vocab_check(meta, vocab,
                           use_pinyin=project.endswith("_pinyin"))
     joined = " ".join(missing)
@@ -112,9 +116,14 @@ def ui_vocab_extend(store: ProjectStore, project: str, symbols: str,
     proj = store.path(project)
     vocab = os.path.join(proj, "vocab.txt")
     if not os.path.isfile(vocab):
+        default = _default_vocab()
+        if not os.path.isfile(default):
+            return ("no vocab.txt yet — run Prepare Data first (it writes the "
+                    "project vocab), or copy your base model's vocab file to "
+                    f"{vocab}")
         import shutil
 
-        shutil.copyfile(_default_vocab(), vocab)
+        shutil.copyfile(default, vocab)
     new_size = vocab_extend(vocab, tokens, ckpt_in.strip() or None,
                             ckpt_out.strip() or None)
     out = f"vocab now {new_size} tokens ({vocab_count(' '.join(tokens))} requested)"
@@ -251,6 +260,10 @@ def _coerce_settings(settings: dict) -> dict:
 
 
 def _default_vocab() -> str:
+    """Site-wide fallback vocab. Not shipped with the package (the reference's
+    vocab file belongs to its released checkpoints); callers must handle a
+    missing file — `ui_vocab_check`/`ui_vocab_extend` degrade to a
+    run-Prepare-Data-first message."""
     return os.path.join(os.path.dirname(os.path.dirname(__file__)),
                         "configs", "vocab.txt")
 
@@ -385,11 +398,14 @@ def build_app(data_root: str = DEFAULT_DATA_ROOT):
             status = gr.Textbox(label="Status")
             log_box = gr.Textbox(label="Training log", lines=14)
             with gr.Row():
-                gr.Button("Auto settings").click(
-                    lambda p, *v: [
-                        ui_calculate_train(store, p, dict(zip(SETTING_FIELDS, v)))[k]
-                        for k in SETTING_FIELDS],
-                    [project_dd, *fields], fields)
+                def _auto(p, *v):
+                    # one calculation (it reads + stats duration.json), then
+                    # fan the dict out to the form fields
+                    s = ui_calculate_train(store, p, dict(zip(SETTING_FIELDS, v)))
+                    return [s[k] for k in SETTING_FIELDS]
+
+                gr.Button("Auto settings").click(_auto, [project_dd, *fields],
+                                                 fields)
                 gr.Button("Save settings").click(
                     lambda p, *v: ui_save_settings(store, p, *v),
                     [project_dd, *fields], status)

@@ -369,6 +369,10 @@ def settings_to_cli_args(project: str, settings: dict, data_root: str) -> list[s
         "--last_per_updates", str(s["last_per_updates"]),
         "--tokenizer", str(s["tokenizer_type"]),
         "--logger", str(s["logger"]),
+        # keep checkpoints inside the project tree: every other tab
+        # (Test Model, samples, resume) reads {data_root}/{project}/ckpts,
+        # while the CLI's default would be CWD-relative ckpts/{exp_name}
+        "--checkpoint_dir", os.path.join(data_root, project, "ckpts"),
     ]
     if not s["finetune"]:
         args.append("--from-scratch")

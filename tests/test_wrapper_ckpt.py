@@ -80,3 +80,47 @@ def test_wrapper_rejects_oversized_vocab(tmp_path):
     big_vocab = {chr(97 + i // 26) + chr(97 + i % 26): i for i in range(500)}
     with pytest.raises(ValueError, match="text embedding"):
         F5TTSWrapper(model_cfg=cfg, ckpt_path=path, vocab_char_map=big_vocab)
+
+
+def test_wrapper_loads_own_orbax_training_checkpoint(tmp_path):
+    """F5TTSWrapper(ckpt_path=<model_* directory>) serves this framework's OWN
+    trainer output (Orbax TrainState dirs, `training/trainer.py
+    checkpoint_save`) — EMA weights preferred, raw params via use_ema=False.
+    This is the finetune UI's Test Model path for freshly trained checkpoints."""
+    from eraxvif5tts_tpu.models.cfm import CFM
+    from eraxvif5tts_tpu.training.trainer import Trainer, make_optimizer
+
+    dit = DiT(arch=ARCH, text_num_embeds=len(VOCAB_CHARS), mel_dim=100)
+    cfm = CFM(transformer=dit)
+    trainer = Trainer(cfm=cfm, optimizer=make_optimizer(total_updates=10),
+                      checkpoint_dir=str(tmp_path))
+    state = trainer.init_state(jax.random.key(0))
+    # make EMA distinguishable from raw params
+    state = state.replace(
+        ema_params=jax.tree.map(lambda p: p + 1.0, state.params))
+    path = trainer.save_checkpoint(state, meta={"epoch": 0, "batch": 0})
+
+    vocab = {c: i for i, c in enumerate(VOCAB_CHARS)}
+    cfg = ModelConfig(arch=ARCH)
+    w = F5TTSWrapper(model_cfg=cfg, ckpt_path=path, vocab_char_map=vocab,
+                     nfe_step=2, duration_buckets=(64, 128), text_buckets=(64,))
+    emb = w.params["text_embed"]["embed"]["embedding"]
+    want_ema = np.asarray(
+        state.ema_params["text_embed"]["embed"]["embedding"])
+    np.testing.assert_allclose(np.asarray(emb), want_ema, rtol=1e-6)
+
+    sr = 24000
+    t = np.arange(sr // 4) / sr
+    w.preprocess_reference(
+        ref_audio=(0.2 * np.sin(2 * np.pi * 160 * t)).astype(np.float32),
+        ref_sample_rate=sr, ref_text="hi there. ")
+    wav = w.generate("a test.", nfe_step=2, seed=0, return_numpy=True)
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+    w_raw = F5TTSWrapper(model_cfg=cfg, ckpt_path=path, vocab_char_map=vocab,
+                         use_ema=False, nfe_step=2,
+                         duration_buckets=(64, 128), text_buckets=(64,))
+    raw_emb = np.asarray(w_raw.params["text_embed"]["embed"]["embedding"])
+    np.testing.assert_allclose(
+        raw_emb, np.asarray(state.params["text_embed"]["embed"]["embedding"]),
+        rtol=1e-6)
