@@ -210,15 +210,9 @@ class F5TTSWrapper:
         if compute_dtype == "int8":
             # int8 W8A8 serving (opt-in): block matmuls quantized, everything
             # else bf16. 3.6x GEMM throughput on v5e (`benchmarks/quant_probe.py`).
-            if cfg.backbone != "DiT":
-                # only DiT threads arch.quantized into its blocks;
-                # quantize_params would still rename UNetT/MMDiT kernels to
-                # kernel_q/kernel_scale and the first apply would fail with
-                # missing params — refuse up front instead
-                raise ValueError(
-                    f"compute_dtype='int8' is only supported for the DiT "
-                    f"backbone (got {cfg.backbone!r}); use 'bfloat16'"
-                )
+            # All three backbones thread arch.quantized into their block
+            # projections (DiT/UNetT: to_q/k/v/out + FF; MMDiT additionally the
+            # *_c text-stream projections — `ops/quant._QUANT_SUFFIXES`).
             cfg = dataclasses.replace(
                 cfg, arch=dataclasses.replace(cfg.arch, quantized=True))
         self.config = cfg
@@ -351,7 +345,7 @@ class F5TTSWrapper:
         # cut so the kept region is numerically unchanged.
         def _sample_vocode(params, vparams, cond, text, duration, lens, key,
                            rms_scale, steps, cfg_strength, sway, max_duration,
-                           vocode_start=0):
+                           vocode_start=0, gen_start=0):
             mel = self.cfm.sample(
                 params, cond, text, duration, lens, key,
                 steps=steps, cfg_strength=cfg_strength,
@@ -361,12 +355,17 @@ class F5TTSWrapper:
                 {"params": vparams}, mel[:, vocode_start:].swapaxes(1, 2))
             wave = wave * rms_scale
             pcm = jnp.clip(wave, -1.0, 1.0) * 32767.0
-            return pcm.astype(jnp.int16), mel
+            # ``gen_start`` (static, = ref_frames - vocode_start) drops the
+            # margin frames in-graph so the host can fetch the returned buffer
+            # with ONE blocking np.asarray and trim end-side in numpy — an
+            # eager device-array slice on the host costs ~20 ms of un-jitted
+            # dispatch through the axon tunnel (CLAUDE.md), per chunk.
+            return pcm[:, gen_start * self.hop_length:].astype(jnp.int16), mel
 
         self._sample_vocode_jit = jax.jit(
             _sample_vocode,
             static_argnames=("steps", "cfg_strength", "sway", "max_duration",
-                             "vocode_start"),
+                             "vocode_start", "gen_start"),
         )
         self.ref: Optional[ReferenceState] = None
         self._last_wave: Optional[np.ndarray] = None
@@ -491,11 +490,13 @@ class F5TTSWrapper:
         pending: list[tuple] = []
 
         def drain_one():
-            pcm, out, start, end, n_frames, dur = pending.pop(0)
-            wave_np = np.asarray(pcm[0, start:end]).astype(np.float32) / 32767.0
+            pcm, out, n_samples, n_frames, dur = pending.pop(0)
+            # one blocking transfer of the whole (gen-region-only) int16 buffer,
+            # end-trim on host — no eager device-side slice op
+            wave_np = np.asarray(pcm)[0, :n_samples].astype(np.float32) / 32767.0
             waves.append(wave_np)
             if return_spectrogram:
-                mels.append(np.asarray(out[0, n_frames:dur]).T)
+                mels.append(np.asarray(out)[0, n_frames:dur].T)
 
         for chunk_i, chunk in enumerate(chunks):
             local_speed = 0.3 if len(chunk.encode("utf-8")) < 10 else speed
@@ -534,10 +535,10 @@ class F5TTSWrapper:
                 sway=float(sway) if sway is not None else None,
                 max_duration=bucket,
                 vocode_start=vstart,
-            )  # pcm [1, (bucket-vstart)*hop] int16, mel [1, bucket, n_mels]
-            start = (ref.n_frames - vstart) * self.hop_length
-            end = (min(duration, bucket) - vstart) * self.hop_length
-            pending.append((pcm, out, start, end, ref.n_frames,
+                gen_start=ref.n_frames - vstart,
+            )  # pcm [1, (bucket-ref_frames)*hop] int16, mel [1, bucket, n_mels]
+            n_samples = (min(duration, bucket) - ref.n_frames) * self.hop_length
+            pending.append((pcm, out, n_samples, ref.n_frames,
                             min(duration, bucket)))
             if len(pending) > 3:
                 drain_one()
@@ -644,12 +645,12 @@ class F5TTSWrapper:
             sway=float(sway) if sway is not None else None,
             max_duration=bucket,
             vocode_start=vstart,
+            gen_start=ref.n_frames - vstart,
         )
         pcm = np.asarray(pcm)
         out = []
-        start = (ref.n_frames - vstart) * self.hop_length
         for i, d in enumerate(durations):
-            wave = pcm[i, start : (min(d, bucket) - vstart) * self.hop_length]
+            wave = pcm[i, : (min(d, bucket) - ref.n_frames) * self.hop_length]
             out.append(wave.astype(np.float32) / 32767.0)
         return out
 

@@ -22,6 +22,7 @@ from eraxvif5tts_tpu.models.modules import (
     FeedForward,
     RMSNorm,
     TimestepEmbedding,
+    _dense,
 )
 from eraxvif5tts_tpu.ops.attention import (
     chunked_dot_product_attention,
@@ -90,15 +91,17 @@ class JointAttention(nn.Module):
     context_pre_only: bool = False
     qk_norm: Optional[str] = None
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, c, mask=None, rope=None, c_rope=None, deterministic=True):
         b, n, _ = x.shape
         nt = c.shape[1]
         inner = self.heads * self.dim_head
+        dense = _dense(self.quantized)
 
         def proj(name, inp):
-            return nn.Dense(inner, dtype=self.dtype, name=name)(inp).reshape(
+            return dense(inner, dtype=self.dtype, name=name)(inp).reshape(
                 inp.shape[0], inp.shape[1], self.heads, self.dim_head
             )
 
@@ -138,11 +141,11 @@ class JointAttention(nn.Module):
         out = out.reshape(b, n + nt, inner)
         x_out, c_out = out[:, :n], out[:, n:]
 
-        x_out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(x_out)
+        x_out = dense(self.dim, dtype=self.dtype, name="to_out")(x_out)
         if not deterministic and self.dropout > 0.0:
             x_out = hash_dropout(x_out, self.dropout, self.make_rng("dropout"))
         if not self.context_pre_only:
-            c_out = nn.Dense(self.dim, dtype=self.dtype, name="to_out_c")(c_out)
+            c_out = dense(self.dim, dtype=self.dtype, name="to_out_c")(c_out)
         if mask is not None:
             x_out = jnp.where(mask[..., None], x_out, 0.0)
         return x_out, c_out
@@ -159,6 +162,7 @@ class MMDiTBlock(nn.Module):
     context_pre_only: bool = False
     qk_norm: Optional[str] = None
     dtype: Any = jnp.float32
+    quantized: bool = False
 
     @nn.compact
     def __call__(self, x, c, t, mask=None, rope=None, c_rope=None, deterministic=True):
@@ -175,7 +179,8 @@ class MMDiTBlock(nn.Module):
         x_attn, c_attn = JointAttention(
             dim=self.dim, heads=self.heads, dim_head=self.dim_head,
             dropout=self.dropout, context_pre_only=self.context_pre_only,
-            qk_norm=self.qk_norm, dtype=self.dtype, name="attn",
+            qk_norm=self.qk_norm, dtype=self.dtype, quantized=self.quantized,
+            name="attn",
         )(norm_x, norm_c, mask=mask, rope=rope, c_rope=c_rope, deterministic=deterministic)
 
         if self.context_pre_only:
@@ -187,7 +192,7 @@ class MMDiTBlock(nn.Module):
             norm_c2 = norm_c2 * (1 + c_scale_mlp[:, None]) + c_shift_mlp[:, None]
             c_out = c + c_gate_mlp[:, None] * FeedForward(
                 self.dim, mult=self.ff_mult, dropout=self.dropout,
-                dtype=self.dtype, name="ff_c",
+                dtype=self.dtype, quantized=self.quantized, name="ff_c",
             )(norm_c2, deterministic=deterministic)
 
         x = x + x_gate_msa[:, None] * x_attn
@@ -196,7 +201,7 @@ class MMDiTBlock(nn.Module):
         norm_x2 = norm_x2 * (1 + x_scale_mlp[:, None]) + x_shift_mlp[:, None]
         x = x + x_gate_mlp[:, None] * FeedForward(
             self.dim, mult=self.ff_mult, dropout=self.dropout,
-            dtype=self.dtype, name="ff_x",
+            dtype=self.dtype, quantized=self.quantized, name="ff_x",
         )(norm_x2, deterministic=deterministic)
         return c_out, x
 
@@ -219,7 +224,8 @@ class MMDiT(nn.Module):
             MMDiTBlock(
                 dim=a.dim, heads=a.heads, dim_head=a.dim_head, ff_mult=a.ff_mult,
                 dropout=a.dropout, context_pre_only=(i == a.depth - 1),
-                qk_norm=a.qk_norm, dtype=self.compute_dtype, name=f"block_{i}",
+                qk_norm=a.qk_norm, dtype=self.compute_dtype,
+                quantized=a.quantized, name=f"block_{i}",
             )
             for i in range(a.depth)
         ]

@@ -67,10 +67,11 @@ class UNetT(nn.Module):
                 Attention(dim=a.dim, heads=a.heads, dim_head=a.dim_head,
                           dropout=a.dropout, qk_norm=a.qk_norm,
                           pe_attn_head=a.pe_attn_head, dtype=self.compute_dtype,
-                          name=f"attn_{idx}"),
+                          quantized=a.quantized, name=f"attn_{idx}"),
                 XRMSNorm(a.dim, name=f"ff_norm_{idx}"),
                 FeedForward(a.dim, mult=a.ff_mult, dropout=a.dropout,
-                            dtype=self.compute_dtype, name=f"ff_{idx}"),
+                            dtype=self.compute_dtype, quantized=a.quantized,
+                            name=f"ff_{idx}"),
             ))
         self.layers = layers
         self.norm_out = XRMSNorm(a.dim, name="norm_out")

@@ -74,7 +74,11 @@ class QuantDense(nn.Module):
         return y + bias.astype(self.dtype)
 
 
-_QUANT_SUFFIXES = ("to_q", "to_k", "to_v", "to_out", "project_in", "project_out")
+_QUANT_SUFFIXES = (
+    "to_q", "to_k", "to_v", "to_out", "project_in", "project_out",
+    # MMDiT joint-attention text-stream projections
+    "to_q_c", "to_k_c", "to_v_c", "to_out_c",
+)
 
 
 def quantize_params(params, suffixes: tuple[str, ...] = _QUANT_SUFFIXES):

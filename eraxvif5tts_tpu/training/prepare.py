@@ -118,6 +118,65 @@ def prepare_csv_wavs(
             "total_hours": sum(durations) / 3600.0, "vocab_size": len(vocab_lines)}
 
 
+def prepare_phonemes(
+    metadata_path: str,
+    output_path: str,
+    language: str = "vi",
+    normalize_fn=None,
+    shuffle: bool = False,
+    seed: int = 0,
+) -> dict:
+    """metadata.csv (``audio|...|text`` lines) -> phoneme jsonl for duration training.
+
+    Parity with reference `src/f5_tts/model/preprocess_phoneme.py`: the text is
+    the last ``|`` field, normalized (vinorm ``TTSnorm`` when available — pass
+    ``normalize_fn`` to override or inject), phonemized, and written as one
+    ``{"text", "phonemes", "audio"}`` jsonl line per sample. The reference's
+    tail-token fixups are kept: drop an empty trailing token, drop a bare
+    trailing ``"."``, collapse a trailing ``".."`` to ``"."``; samples with
+    fewer than 2 phonemes (or any per-line failure) are skipped, not fatal.
+    """
+    from eraxvif5tts_tpu.text.phoneme import phonemize
+
+    if normalize_fn is None:
+        try:  # optional Vietnamese text normalizer (reference uses vinorm)
+            from vinorm import TTSnorm as normalize_fn  # type: ignore
+        except ImportError:
+            normalize_fn = lambda s: s  # noqa: E731
+
+    with open(metadata_path, "r", encoding="utf-8") as f:
+        lines = [ln.strip() for ln in f if ln.strip()]
+    if shuffle:
+        import random as _rnd
+
+        _rnd.Random(seed).shuffle(lines)
+
+    written, skipped = 0, 0
+    with open(output_path, "w", encoding="utf-8") as out:
+        for line in lines:
+            try:
+                content = normalize_fn(line.split("|")[-1].strip())
+                phoneme = phonemize(str(content), language=language)
+                if phoneme and phoneme[-1] == "":
+                    phoneme = phoneme[:-1]
+                if phoneme and phoneme[-1] == ".":
+                    phoneme = phoneme[:-1]
+                elif phoneme and phoneme[-1] == "..":
+                    phoneme[-1] = "."
+                if len(phoneme) < 2:
+                    skipped += 1
+                    continue
+                out.write(json.dumps({
+                    "text": content,
+                    "phonemes": phoneme,
+                    "audio": line.split("|")[0],
+                }, ensure_ascii=False) + "\n")
+                written += 1
+            except Exception:
+                skipped += 1
+    return {"written": written, "skipped": skipped, "output": output_path}
+
+
 def prepare_ljspeech(ljspeech_dir: str, output_dir: str, **kw) -> dict:
     """LJSpeech layout (metadata.csv with `id|text|normalized`) -> same outputs
     (reference `prepare_ljspeech.py:14-50`)."""
@@ -133,3 +192,34 @@ def prepare_ljspeech(ljspeech_dir: str, output_dir: str, **kw) -> dict:
     stage_dir = os.path.dirname(staged)
     os.replace(staged, os.path.join(stage_dir, "metadata.csv"))
     return prepare_csv_wavs(stage_dir, output_dir, use_pinyin=False, **kw)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    import argparse
+
+    ap = argparse.ArgumentParser(prog="eraxvif5tts-prepare")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    p1 = sub.add_parser("csv_wavs", help="metadata.csv + wavs -> arrow/duration/vocab")
+    p1.add_argument("input_dir")
+    p1.add_argument("output_dir")
+    p1.add_argument("--pretrained-vocab")
+    p1.add_argument("--no-pinyin", action="store_true")
+    p2 = sub.add_parser("ljspeech", help="LJSpeech layout -> arrow/duration/vocab")
+    p2.add_argument("ljspeech_dir")
+    p2.add_argument("output_dir")
+    p3 = sub.add_parser("phonemes",
+                        help="metadata.csv -> phoneme jsonl (duration training)")
+    p3.add_argument("metadata")
+    p3.add_argument("output")
+    p3.add_argument("--language", default="vi")
+    p3.add_argument("--shuffle", action="store_true")
+    args = ap.parse_args()
+    if args.cmd == "csv_wavs":
+        print(prepare_csv_wavs(args.input_dir, args.output_dir,
+                               pretrained_vocab=args.pretrained_vocab,
+                               use_pinyin=not args.no_pinyin))
+    elif args.cmd == "ljspeech":
+        print(prepare_ljspeech(args.ljspeech_dir, args.output_dir))
+    else:
+        print(prepare_phonemes(args.metadata, args.output,
+                               language=args.language, shuffle=args.shuffle))

@@ -109,3 +109,29 @@ def test_prune_to_ema(tmp_path):
 def test_system_stats():
     stats = system_stats()
     assert "loadavg" in stats or "devices" in stats
+
+
+def test_prepare_phonemes_jsonl(tmp_path):
+    """Parity with reference preprocess_phoneme.py: last |-field is the text,
+    first is the audio path; tail fixups; <2-phoneme lines skipped."""
+    import json
+
+    from eraxvif5tts_tpu.training.prepare import prepare_phonemes
+
+    meta = tmp_path / "metadata.csv"
+    meta.write_text(
+        "a.wav|xin chao the gioi\n"
+        "b.wav|speaker1|mot cau khac .\n"
+        "c.wav|x\n",  # 1 phoneme after fixups -> skipped
+        encoding="utf-8",
+    )
+    out = tmp_path / "phonemes.jsonl"
+    summary = prepare_phonemes(str(meta), str(out), normalize_fn=lambda s: s.upper())
+    assert summary["written"] == 2 and summary["skipped"] == 1
+    rows = [json.loads(l) for l in out.read_text(encoding="utf-8").splitlines()]
+    assert rows[0]["audio"] == "a.wav"
+    assert rows[0]["text"] == "XIN CHAO THE GIOI"  # normalize_fn applied
+    assert rows[1]["audio"] == "b.wav"
+    # char-fallback phonemizer: trailing bare "." dropped (reference fixup)
+    assert rows[1]["phonemes"][-1] != "."
+    assert all(len(r["phonemes"]) >= 2 for r in rows)

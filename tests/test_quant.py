@@ -70,16 +70,70 @@ def test_quantized_dit_matches_fp_within_tolerance():
     assert np.isfinite(bq).all()
 
 
-def test_int8_rejected_for_non_dit_backbones():
-    """Only DiT threads arch.quantized into its blocks; UNetT/MMDiT would fail
-    at first apply with missing-kernel params, so the wrapper refuses early."""
-    import pytest
+def test_quantized_unett_matches_fp_within_tolerance():
+    """arch.quantized threads through UNetT's Attention/FeedForward (same
+    to_q/k/v/out + project_* names the DiT blocks use)."""
+    import dataclasses
 
-    from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
+    from eraxvif5tts_tpu.configs import ArchConfig
+    from eraxvif5tts_tpu.models import UNetT
 
-    with pytest.raises(ValueError, match="int8.*DiT"):
-        F5TTSWrapper(model_name="E2TTS_Base", compute_dtype="int8",
-                     vocab_char_map={"a": 0, "b": 1})
+    arch = ArchConfig(dim=32, depth=4, heads=2, dim_head=16, ff_mult=2,
+                      text_dim=None, conv_layers=0, dropout=0.0)
+    fp = UNetT(arch=arch, text_num_embeds=8, mel_dim=8)
+    qt = UNetT(arch=dataclasses.replace(arch, quantized=True),
+               text_num_embeds=8, mel_dim=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 12, 8)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((2, 12, 8)).astype(np.float32)) * 0.1
+    text = jnp.asarray([[1, 2, 3, -1], [2, -1, -1, -1]], jnp.int32)
+    t = jnp.asarray([0.3, 0.7])
+    params = jax.jit(fp.init)(jax.random.key(0), x, cond, text, t)["params"]
+    out_fp = np.asarray(fp.apply({"params": params}, x, cond, text, t))
+    out_q = np.asarray(qt.apply({"params": quantize_params(params)},
+                                x, cond, text, t))
+    rel = np.abs(out_fp - out_q).max() / (np.abs(out_fp).max() + 1e-6)
+    assert rel < 0.08, rel
+    assert np.isfinite(out_q).all()
+
+
+def test_quantized_mmdit_matches_fp_within_tolerance():
+    """MMDiT's joint attention additionally quantizes the *_c text-stream
+    projections (`ops/quant._QUANT_SUFFIXES`)."""
+    import dataclasses
+
+    from eraxvif5tts_tpu.configs import ArchConfig
+    from eraxvif5tts_tpu.models import MMDiT
+
+    arch = ArchConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                      dropout=0.0)
+    fp = MMDiT(arch=arch, text_num_embeds=8, mel_dim=8)
+    qt = MMDiT(arch=dataclasses.replace(arch, quantized=True),
+               text_num_embeds=8, mel_dim=8)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 12, 8)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((2, 12, 8)).astype(np.float32)) * 0.1
+    text = jnp.asarray([[1, 2, 3, -1], [2, -1, -1, -1]], jnp.int32)
+    t = jnp.asarray([0.3, 0.7])
+    params = jax.jit(fp.init)(jax.random.key(0), x, cond, text, t)["params"]
+    # proj_out (and the AdaLN gates) are zero-init; perturb them so block
+    # outputs actually reach the output and the comparison is non-vacuous
+    params = jax.tree.map(
+        lambda p: p + 0.05 * jax.random.normal(jax.random.key(9), p.shape, p.dtype)
+        if p.ndim >= 1 else p,
+        params,
+    )
+    qparams = quantize_params(params)
+    # every joint-attention projection (incl. the text-stream *_c ones) got int8
+    blk = qparams["block_0"]["attn"]
+    for name in ("to_q", "to_v_c", "to_out_c"):
+        assert "kernel_q" in blk[name], name
+    out_fp = np.asarray(fp.apply({"params": params}, x, cond, text, t))
+    out_q = np.asarray(qt.apply({"params": qparams}, x, cond, text, t))
+    assert np.abs(out_fp).max() > 1e-3  # non-vacuous
+    rel = np.abs(out_fp - out_q).max() / (np.abs(out_fp).max() + 1e-6)
+    assert rel < 0.08, rel
+    assert np.isfinite(out_q).all()
 
 
 def test_int8_quality_gate_hard_error_path(monkeypatch):
