@@ -41,6 +41,13 @@ class ArchConfig:
     pe_attn_head: Optional[int] = None
     long_skip_connection: bool = False
     checkpoint_activations: bool = False
+    # remat selectivity when checkpoint_activations is on: "full" recomputes
+    # everything in the backward (min HBM); "dots" saves matmul outputs
+    # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) so the
+    # backward skips re-running the block GEMMs — trades ~0.5 GB/layer of HBM
+    # at the 9x4096-frame batch for ~19% of the recompute FLOPs; for chips
+    # with more HBM than one v5e
+    remat_policy: str = "full"  # "full" | "dots"
     dropout: float = 0.1
     # int8 W8A8 serving for the block matmuls (opt-in, TPU-first extension:
     # params must be pre-quantized via ops/quant.quantize_params)

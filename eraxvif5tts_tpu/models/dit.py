@@ -139,7 +139,21 @@ class DiT(nn.Module):
         # Rematerialization trades FLOPs for HBM on the backward pass
         # (reference `dit.py:221-223` uses torch activation checkpointing).
         # static arg 5 = `deterministic` (0 is self); rope (4) is a traced constant
-        block_cls = nn.remat(DiTBlock, static_argnums=(5,)) if a.checkpoint_activations else DiTBlock
+        if a.checkpoint_activations:
+            if a.remat_policy == "dots":
+                import jax
+
+                block_cls = nn.remat(
+                    DiTBlock, static_argnums=(5,),
+                    policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+                )
+            elif a.remat_policy == "full":
+                block_cls = nn.remat(DiTBlock, static_argnums=(5,))
+            else:
+                raise ValueError(
+                    f"unknown remat_policy {a.remat_policy!r} (full|dots)")
+        else:
+            block_cls = DiTBlock
         self.blocks = [
             block_cls(
                 dim=a.dim,

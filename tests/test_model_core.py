@@ -251,3 +251,51 @@ def test_cfm_sample_batch_invariance():
         steps=2, max_duration=32,
     )
     np.testing.assert_allclose(np.asarray(out1[0]), np.asarray(out2[0]), rtol=1e-4, atol=1e-5)
+
+
+def test_remat_policies_preserve_gradients():
+    """checkpoint_activations with remat_policy full/dots must give the SAME
+    loss and gradients as the unrematerialized model (remat only changes what
+    the backward recomputes vs saves)."""
+    import dataclasses
+
+    from eraxvif5tts_tpu.configs import ArchConfig
+
+    mel = jax.random.normal(jax.random.key(1), (2, 16, 8))
+    text = jnp.asarray([[1, 2, 3, -1], [2, 3, -1, -1]], jnp.int32)
+    lens = jnp.asarray([16, 10])
+
+    def grads_for(arch):
+        dit = DiT(arch=arch, text_num_embeds=10, mel_dim=8)
+        cfm = CFM(transformer=dit)
+        params = jax.jit(dit.init)(
+            jax.random.key(0), jnp.zeros((1, 16, 8)), jnp.zeros((1, 16, 8)),
+            jnp.zeros((1, 4), jnp.int32), jnp.zeros((1,)),
+        )["params"]
+
+        def loss_fn(p):
+            loss, _, _ = cfm.loss(p, mel, text, lens, jax.random.key(2),
+                                  deterministic=True)
+            return loss
+
+        l, g = jax.jit(jax.value_and_grad(loss_fn))(params)
+        return float(l), g
+
+    base_arch = ArchConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2,
+                           text_dim=32, conv_layers=1, dropout=0.0)
+    l0, g0 = grads_for(base_arch)
+    for policy in ("full", "dots"):
+        arch = dataclasses.replace(base_arch, checkpoint_activations=True,
+                                   remat_policy=policy)
+        l1, g1 = grads_for(arch)
+        assert abs(l0 - l1) < 1e-5, (policy, l0, l1)
+        flat0 = jax.tree_util.tree_leaves(g0)
+        flat1 = jax.tree_util.tree_leaves(g1)
+        for a, b in zip(flat0, flat1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-5)
+
+    with pytest.raises(ValueError, match="remat_policy"):
+        bad = dataclasses.replace(base_arch, checkpoint_activations=True,
+                                  remat_policy="bogus")
+        grads_for(bad)
