@@ -38,6 +38,10 @@ def main():
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon sitecustomize ignores "
                         "JAX_PLATFORMS env)")
+    p.add_argument("--remat-policy", default="full", choices=["full", "dots"],
+                   help="remat selectivity under activation checkpointing "
+                        "('dots' saves GEMM outputs, skipping their backward "
+                        "recompute at the cost of HBM)")
     args = p.parse_args()
 
     import jax
@@ -54,13 +58,15 @@ def main():
     if args.smoke:
         arch = ArchConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2,
                           text_dim=32, conv_layers=1, dropout=args.dropout,
-                          checkpoint_activations=True)
+                          checkpoint_activations=True,
+                          remat_policy=args.remat_policy)
         args.frames, args.batch = 256, 2
         mel_dim, vocab = 100, 256
     else:
         arch = ArchConfig(dim=args.dim, depth=args.depth, heads=16, dim_head=64,
                           ff_mult=2, text_dim=512, conv_layers=4,
-                          dropout=args.dropout, checkpoint_activations=True)
+                          dropout=args.dropout, checkpoint_activations=True,
+                          remat_policy=args.remat_policy)
         mel_dim, vocab = 100, 2545
 
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32

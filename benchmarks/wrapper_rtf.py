@@ -59,6 +59,10 @@ def main():
     ap.add_argument("--model", default="F5TTS_v1_Base",
                     help="architecture preset (e.g. E2TTS_Base for the UNetT "
                          "variant's perf story)")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "int8", "float32"],
+                    help="serving compute dtype (int8 = opt-in W8A8 block "
+                         "matmuls; supported for all three backbones)")
     args = ap.parse_args()
 
     from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
@@ -72,7 +76,7 @@ def main():
             model_name=args.model,
             ckpt_path=ckpt,
             vocab_char_map=vocab,
-            compute_dtype="bfloat16",
+            compute_dtype=args.dtype,
             nfe_step=args.nfe,
         )
 
@@ -138,7 +142,8 @@ def main():
 
     print(json.dumps({
         "metric": f"wrapper_rtf_nfe{args.nfe}"
-                  + ("" if args.model == "F5TTS_v1_Base" else f"_{args.model}"),
+                  + ("" if args.model == "F5TTS_v1_Base" else f"_{args.model}")
+                  + ("" if args.dtype == "bfloat16" else f"_{args.dtype}"),
         "value": round(rtf, 3),
         "unit": "x_realtime",
         "vs_baseline": round(rtf / 20.0, 3),
