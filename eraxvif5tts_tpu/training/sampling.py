@@ -58,7 +58,7 @@ def make_sample_fn(
                 jnp.asarray([duration]), jnp.asarray([min(ref_len, max_dur)]),
                 jax.random.key(step), steps=steps, max_duration=max_dur,
             )
-            mel_np = np.asarray(mel[0, min(ref_len, max_dur):duration])
+            mel_np = np.asarray(mel)[0, min(ref_len, max_dur):duration]
             base = os.path.join(out_dir, f"update_{step}_{i}")
             np.save(base + ".npy", mel_np)
             written.append(base + ".npy")
