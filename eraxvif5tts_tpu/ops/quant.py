@@ -135,6 +135,10 @@ def quant_divergence(cfm_bf16, params_bf16, cfm_int8, params_int8,
     relative MSE. ``passes_gate`` applies :data:`INT8_REL_MSE_THRESHOLD`."""
     import numpy as np
 
+    if max_duration - 64 <= prompt_frames:
+        raise ValueError(
+            f"max_duration={max_duration} leaves no generated region to score "
+            f"(needs > prompt_frames+64 = {prompt_frames + 64})")
     cond, text, duration, lens = _fixed_inputs(
         cfm_bf16, max_duration, text_len, prompt_frames)
 

@@ -161,3 +161,30 @@ def test_int8_quality_gate_hard_error_path(monkeypatch):
     w = F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab,
                      compute_dtype="int8", int8_validate=True)
     assert w.params is not None
+
+
+def test_quant_divergence_gate_runs_for_unett():
+    """The int8 quality gate (`int8_validate=True`) must work for every
+    backbone that can serve int8 — drive it with a tiny UNetT."""
+    import dataclasses
+
+    from eraxvif5tts_tpu.configs import ArchConfig
+    from eraxvif5tts_tpu.models import UNetT
+    from eraxvif5tts_tpu.models.cfm import CFM
+    from eraxvif5tts_tpu.ops.quant import quant_divergence
+
+    arch = ArchConfig(dim=32, depth=2, heads=2, dim_head=16, ff_mult=2,
+                      text_dim=None, conv_layers=0, dropout=0.0)
+    fp_tf = UNetT(arch=arch, text_num_embeds=32, mel_dim=100)
+    q_tf = UNetT(arch=dataclasses.replace(arch, quantized=True),
+                 text_num_embeds=32, mel_dim=100)
+    cfm_fp, cfm_q = CFM(transformer=fp_tf), CFM(transformer=q_tf)
+    params = cfm_fp.init_params(jax.random.key(0))
+    params = jax.tree.map(
+        lambda p: p + 0.02 * jax.random.normal(jax.random.key(5), p.shape, p.dtype),
+        params)
+    # max_duration must exceed prompt_frames+64 or the scored region is empty
+    rep = quant_divergence(cfm_fp, params, cfm_q, quantize_params(params),
+                           steps=2, max_duration=256)
+    assert rep["passes_gate"], rep
+    assert np.isfinite(rep["lsd_db"]) and rep["forward_rel_mse"] < 5e-2
