@@ -6,17 +6,17 @@ import numpy as np
 
 # Static sequence buckets so repeated `generate` calls hit cached XLA executables
 # (the reference re-traces nothing because torch is dynamic; on TPU the bucket ladder
-# replaces `max_duration = duration.amax()` at reference `cfm.py:136`). Step ratio
-# <= 1.25 caps padded-frame waste at 20% (e.g. an 11 s request landing on 1536 was
-# 49% padding before 1280 existed); every bucket is a multiple of 128 so the
-# serving attention kernel applies.
-# 128-multiples throughout (the serving attention kernel dispatches on
-# n % 128 == 0): dense 128-steps through the common ref-5s + gen-5-15s range
-# (<= 2048 frames) cap padding waste at <= 11%, 256-steps above. The round-2
+# replaces `max_duration = duration.amax()` at reference `cfm.py:136`). Every bucket
+# is a multiple of 64, the serving attention kernel's alignment floor.
+# 64-multiples through the common ref-5s + gen-5-15s range (capping padding
+# waste at <= 6%): odd 64-multiples (n % 128 == 64) ride the serving kernel's
+# one-shot fat-q block, whose fp32 logits tile fits VMEM up to n = 1600
+# (`serving_attention.one_shot_feasible`, h=16 d=64 — asserted by
+# tests/test_chunked_attention.py); beyond that the ladder keeps 128-steps
+# (divisor q-blocks) to 2048 and 256-steps to the 4096 cap. The round-2
 # 1024->1280 jump alone cost ~10% wall on a typical 11 s total request.
-DURATION_BUCKETS = (256, 384, 512, 640, 768, 896, 1024, 1152, 1280, 1408,
-                    1536, 1664, 1792, 1920, 2048, 2304, 2560, 2816, 3072,
-                    3328, 3584, 3840, 4096)
+DURATION_BUCKETS = tuple(range(256, 1601, 64)) + tuple(range(1664, 2049, 128)) + (
+    2304, 2560, 2816, 3072, 3328, 3584, 3840, 4096)
 TEXT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
 

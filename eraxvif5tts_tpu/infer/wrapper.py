@@ -151,9 +151,10 @@ class F5TTSWrapper:
         self.target_sample_rate = target_sample_rate
         self.hop_length = hop_length
         # UNetT packs the time embedding as an extra frame 0 (reference
-        # `unett.py:215-217`), so mel buckets of 128k-1 frames give the
-        # transformer a 128-aligned sequence — the Pallas serving kernel's
-        # dispatch condition (`ops/attention.py use_serving_kernel`).
+        # `unett.py:215-217`), so mel buckets of 64k-1 frames give the
+        # transformer a 64-aligned sequence — the Pallas serving kernel's
+        # dispatch condition (`ops/attention.py use_serving_kernel`:
+        # 128-aligned, or 64-aligned with a VMEM-feasible one-shot block).
         if cfg.backbone == "UNetT" and duration_buckets == DURATION_BUCKETS:
             duration_buckets = tuple(b - 1 for b in DURATION_BUCKETS)
         self.nfe_step = nfe_step

@@ -92,13 +92,22 @@ def use_serving_kernel(q, k, v, trainable: bool, key_valid, prefix_key_mask: boo
     escape hatch back to the flash path."""
     import os
 
-    n, d = q.shape[1], q.shape[3]
+    n, h, d = q.shape[1], q.shape[2], q.shape[3]
+    if n % 128:
+        # 64-aligned sequences ride the one-shot fat-q block when it fits the
+        # calibrated VMEM model (64-step duration buckets halve the ODE's
+        # padding waste vs 128-step ones); anything else falls through to the
+        # unfused XLA attention (the flash kernel also needs n % 128 == 0)
+        from eraxvif5tts_tpu.ops.serving_attention import one_shot_feasible
+
+        if not one_shot_feasible(n, h, d):
+            return False
     return (
         os.environ.get("ERAX_SERVING_ATTN", "1") != "0"
         and implementation != "xla"
         and not trainable
         and _on_tpu()
-        and n % 128 == 0
+        and n % 64 == 0
         and n <= 4096
         # d=256 excluded: at large n the headloop finds no VMEM-feasible block
         # and the fallback _blocks() budget (fp32 logits only, not K/V

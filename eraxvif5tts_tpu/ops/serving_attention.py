@@ -153,7 +153,21 @@ def _headloop_kernel(lens_ref, q_ref, k_ref, v_ref, *rest,
         o_ref[0, hi] = o.astype(o_ref.dtype)
 
 
-def _headloop_blocks(n: int, h: int, d: int) -> tuple[int, int]:
+def one_shot_feasible(n: int, h: int, d: int) -> bool:
+    """True when the one-shot fat-q block (bq = n) fits the calibrated VMEM
+    model for some head block — the variant that carries sequence lengths that
+    are only 64-aligned (no 128-multiple q-block divides them). Mosaic handles
+    a 64-multiple sublane/minor extent by lane padding inside the kernel; the
+    dispatch gate (`ops/attention.use_serving_kernel`) calls this before
+    admitting an n % 128 != 0 shape."""
+    if n % 64 or d not in (64, 128):
+        return False
+    hb, _ = _headloop_blocks(n, h, d, _one_shot_only=True)
+    return hb is not None
+
+
+def _headloop_blocks(n: int, h: int, d: int,
+                     _one_shot_only: bool = False) -> tuple[int, int]:
     """(head block, q block) for the headloop variant.
 
     Measured on v5e (`benchmarks/attn_sweep.py`, slope timing): fat q blocks
@@ -179,23 +193,26 @@ def _headloop_blocks(n: int, h: int, d: int) -> tuple[int, int]:
                 + 2 * bq * d * 4)  # cos_q/sin_q
 
     # fat q blocks first (M = bq drives MXU utilization), then as many heads
-    # per program as VMEM allows.
+    # per program as VMEM allows. Sequences that are only 64-aligned have no
+    # 128-multiple divisor at all and go straight to the one-shot branch.
     best = None
-    for bq in range(min(n, 1024), 127, -128):
-        if n % bq:
-            continue
-        for hb in (hb0, hb0 // 2, hb0 // 4, 1):
-            if not hb or h % hb:
+    if not _one_shot_only and n % 128 == 0:
+        for bq in range(min(n, 1024), 127, -128):
+            if n % bq:
                 continue
-            if est(hb, bq) <= 13 * 1024 * 1024:
-                best = (hb, bq)
+            for hb in (hb0, hb0 // 2, hb0 // 4, 1):
+                if not hb or h % hb:
+                    continue
+                if est(hb, bq) <= 13 * 1024 * 1024:
+                    best = (hb, bq)
+                    break
+            if best:
                 break
-        if best:
-            break
     if best is None or best[1] < n // 2:
-        # pathological divisor structure (e.g. n = 9*128 -> best divisor 384):
-        # one fat one-shot q block beats the skinny divisor despite the bigger
-        # logits tile — measured 227 -> 195 us/layer roped at n=1152 (hb=8).
+        # pathological divisor structure (e.g. n = 9*128 -> best divisor 384,
+        # or 64-aligned n with no 128-multiple divisor): one fat one-shot q
+        # block beats the skinny divisor despite the bigger logits tile —
+        # measured 227 -> 195 us/layer roped at n=1152 (hb=8).
         # With the single-buffer correction the one-shot estimate may use the
         # measured 14 MB headroom ((8,1152) est 13.6 compiles; the
         # (4,256)@4096 failure point, est 17.25, is still rejected).
@@ -204,8 +221,14 @@ def _headloop_blocks(n: int, h: int, d: int) -> tuple[int, int]:
                 continue
             if est(hb, n) <= 14 * 1024 * 1024:
                 return hb, n
+        if _one_shot_only:
+            return None, 0
     if best is not None:
         return best
+    if n % 128:
+        # no 128-multiple q block divides n and one-shot did not fit VMEM —
+        # the dispatch gate (one_shot_feasible) refuses these shapes up front
+        raise ValueError(f"no VMEM-feasible serving block for n={n}, h={h}, d={d}")
     return _blocks(n, h)
 
 
@@ -277,7 +300,8 @@ def serving_attention(
     (batched-head dot_general). ``blocks`` overrides the (head block, q block)
     chooser — the sweep harness' knob.
 
-    Requires n % 128 == 0 and d in {64, 128, 256} (the caller dispatches).
+    Requires n % 128 == 0 — or n % 64 == 0 with a VMEM-feasible one-shot
+    block (`one_shot_feasible`) — and d in {64, 128} (the caller dispatches).
     Differentiation is supported via a reference-implementation custom_jvp
     (primarily so stop-gradient'd teacher forwards trace; the training path
     has its own kernel, `ops/train_attention.py`).

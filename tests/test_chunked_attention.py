@@ -158,3 +158,49 @@ def test_serving_attention_headloop_fused_rope():
                     + 2 * bq * 64 * 4)
             limit = 14 if bq == nn else 13
             assert vmem <= limit * 1024 * 1024, (nn, hh, hb, bq, vmem)
+
+
+def test_serving_attention_64_aligned_one_shot():
+    """64-only-aligned sequences (n % 128 == 64) ride the one-shot fat-q block:
+    interpret-mode parity with the rotate-then-attend reference, and every
+    64-only duration bucket must be VMEM-feasible at flagship h=16 d=64."""
+    from eraxvif5tts_tpu.infer.utils import DURATION_BUCKETS
+    from eraxvif5tts_tpu.ops.rotary import apply_rotary, rotary_freqs
+    from eraxvif5tts_tpu.ops.serving_attention import (
+        _headloop_blocks,
+        one_shot_feasible,
+        serving_attention,
+    )
+
+    b, n, h, d = 2, 320, 4, 64
+    assert n % 128 == 64
+    k1, k2, k3 = jax.random.split(jax.random.key(13), 3)
+    q = jax.random.normal(k1, (b, n, h, d))
+    k = jax.random.normal(k2, (b, n, h, d))
+    v = jax.random.normal(k3, (b, n, h, d))
+    lens = jnp.asarray([n, 187])
+    mask = jnp.arange(n)[None, :] < lens[:, None]
+    rope = rotary_freqs(n, d)
+
+    hb, bq = _headloop_blocks(n, h, d)
+    assert bq == n  # no 128-multiple divides n -> one-shot block
+
+    qr = apply_rotary(q.swapaxes(1, 2), rope).swapaxes(1, 2)
+    kr = apply_rotary(k.swapaxes(1, 2), rope).swapaxes(1, 2)
+    ref = attention_reference(qr, kr, v, key_valid=mask)
+    out = serving_attention(q, k, v, lens, rope=rope, interpret=True,
+                            variant="headloop")
+    diff = np.abs(np.asarray(out - ref)) * np.asarray(mask)[:, :, None, None]
+    assert diff.max() < 1e-5, diff.max()
+
+    # ladder invariant: every 64-only bucket the wrapper can pick must be
+    # one-shot feasible (else it would silently fall off the serving kernel)
+    for nn in DURATION_BUCKETS:
+        if nn % 128 == 64:
+            assert one_shot_feasible(nn, 16, 64), nn
+    # infeasible shapes are refused, not mis-blocked
+    assert not one_shot_feasible(1984, 16, 64)
+    import pytest
+
+    with pytest.raises(ValueError, match="no VMEM-feasible"):
+        _headloop_blocks(1984, 16, 64)

@@ -157,7 +157,9 @@ def test_training_process_real_subprocess(tmp_path):
     log = str(tmp_path / "t.log")
     pid = proc.start(["--help"], log_path=log)
     assert pid > 0
-    for _ in range(100):
+    # generous bound: `--help` still pays the package import (~12 s on this
+    # 1-core box, more under a concurrent pytest/compile)
+    for _ in range(600):
         if not proc.running:
             break
         time.sleep(0.1)

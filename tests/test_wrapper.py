@@ -94,7 +94,10 @@ def test_wrapper_output_file(tiny_wrapper, tmp_path):
 def test_pick_bucket():
     assert pick_bucket(1) == 256
     assert pick_bucket(256) == 256
-    assert pick_bucket(257) == 384
+    assert pick_bucket(257) == 320  # 64-step ladder through 1600
+    assert pick_bucket(1035) == 1088
+    assert pick_bucket(1601) == 1664  # 128-steps 1664..2048
+    assert pick_bucket(1665) == 1792
     assert pick_bucket(99999) == 4096
 
 
