@@ -135,7 +135,11 @@ def main():
             np.asarray([min(duration, bucket)]), np.asarray([ref.n_frames]),
             jax.random.key(i), np.float32(1.0), steps=args.nfe,
             cfg_strength=2.0, sway=-1.0, max_duration=bucket,
-            vocode_start=max(ref.n_frames - VOCODE_MARGIN_FRAMES, 0))
+            vocode_start=max(ref.n_frames - VOCODE_MARGIN_FRAMES, 0),
+            # same static args as generate() above, so this reuses the already
+            # compiled executable instead of paying a fresh XLA compile (1-10
+            # min through the tunnel) inside the timed loop
+            gen_start=ref.n_frames - max(ref.n_frames - VOCODE_MARGIN_FRAMES, 0))
         np.asarray(pcm[:1, :1])
         dev_times.append(time.perf_counter() - t0)
     device_rtf = audio_s / float(np.median(dev_times))

@@ -62,6 +62,11 @@ class ModelConfig:
     tokenizer_path: Optional[str] = None
     arch: ArchConfig = field(default_factory=ArchConfig)
     mel_spec: MelSpecConfig = field(default_factory=MelSpecConfig)
+    # TPU extension (absent from reference YAML): training matmul/activation
+    # dtype. Params, optimizer state and LN statistics stay float32 (flax
+    # param_dtype); "bfloat16" is the measured v5e recipe
+    # (benchmarks/train_step_bench.py, BASELINE.md training table).
+    compute_dtype: str = "bfloat16"  # "bfloat16" | "float32"
 
 
 @dataclass(frozen=True)

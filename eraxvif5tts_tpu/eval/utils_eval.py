@@ -239,14 +239,13 @@ def load_asr_fn(language: str, ckpt_dir: str = "") -> Callable[[str], str]:
             return _to_simplified(res[0]["text"])
 
         return asr_fn
-    if language == "en":
-        from eraxvif5tts_tpu.infer.utils_infer import transcribe
+    # every other language goes through Whisper, which is multilingual — the
+    # reference's faster-whisper call pins language="en" for its English sets
+    # (`utils_eval.py:313-317`) but this project's primary eval language is
+    # Vietnamese; pass asr_fn=... to swap the backend entirely
+    from eraxvif5tts_tpu.infer.utils_infer import transcribe
 
-        return lambda p: transcribe(p, language="en")
-    raise NotImplementedError(
-        f"language {language!r}: reference supports 'zh' (paraformer) and 'en' "
-        "(whisper) only (`utils_eval.py:313-317`); pass asr_fn=... for others"
-    )
+    return lambda p: transcribe(p, language=language)
 
 
 def run_asr_wer(

@@ -150,19 +150,30 @@ def dit_block_fusion_ok(n: int, dim: int, inner: int, ff_inner: int,
     return use_fused_serving(n, dim, ff_inner, dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("activation", "eps", "interpret"))
-def ln_mod_matmul(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
-                  w: jnp.ndarray, bias: jnp.ndarray,
-                  activation: Optional[str] = None, eps: float = 1e-6,
-                  interpret: Optional[bool] = None) -> jnp.ndarray:
-    """``act((LN(x) * (1 + scale) + shift) @ w + bias)`` per batch row.
+def _ln_mod_reference(x, scale, shift, w, bias, activation, eps):
+    """jnp surrogate with the kernel's semantics (fp32 LN statistics, matmul in
+    x.dtype with fp32 accumulation) — the differentiation path behind
+    :func:`ln_mod_matmul`'s custom_jvp. The pallas kernel has no JVP rule;
+    frozen-teacher forwards (training/distill.py) and grad-over-deterministic
+    callers trace differentiation through the fused serving branch, where this
+    graph is either DCE'd (zero tangents) or supplies a correct tangent."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    centered = xf - mean
+    var = jnp.mean(centered * centered, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    normed = (centered * (rstd * (1.0 + scale[:, None, :].astype(jnp.float32)))
+              + shift[:, None, :].astype(jnp.float32)).astype(x.dtype)
+    acc = jnp.einsum("bmk,kn->bmn", normed, w,
+                     preferred_element_type=jnp.float32)
+    acc = acc + bias[None, None, :].astype(jnp.float32)
+    if activation == "gelu_tanh":
+        acc = _gelu_tanh(acc)
+    return acc.astype(x.dtype)
 
-    x ``[B, M, K]``; scale/shift ``[B, K]`` (AdaLN modulation vectors); w
-    ``[K, N]``; bias ``[N]``. LN is scale/bias-free layernorm over K with fp32
-    statistics. Returns ``[B, M, N]`` in x.dtype.
-    """
-    if interpret is None:
-        interpret = not _on_tpu()
+
+@functools.partial(jax.custom_jvp, nondiff_argnums=(5, 6, 7))
+def _ln_mod_matmul(x, scale, shift, w, bias, activation, eps, interpret):
     bsz, m, k = x.shape
     n = w.shape[1]
     bn = _pick_bn(n, m, k, x.dtype.itemsize)
@@ -190,6 +201,34 @@ def ln_mod_matmul(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
         ) if pltpu else None,
         interpret=interpret,
     )(x, scale[:, None, :], shift[:, None, :], w, bias[None, :])
+
+
+@_ln_mod_matmul.defjvp
+def _ln_mod_matmul_jvp(activation, eps, interpret, primals, tangents):
+    out = _ln_mod_matmul(*primals, activation, eps, interpret)
+    zero = jax.custom_derivatives.SymbolicZero
+    tans = tuple(jnp.zeros_like(p) if isinstance(t, zero) else t.astype(p.dtype)
+                 for p, t in zip(primals, tangents))
+    _, tangent = jax.jvp(
+        lambda *p: _ln_mod_reference(*p, activation, eps), tuple(primals), tans)
+    return out, tangent
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "eps", "interpret"))
+def ln_mod_matmul(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
+                  w: jnp.ndarray, bias: jnp.ndarray,
+                  activation: Optional[str] = None, eps: float = 1e-6,
+                  interpret: Optional[bool] = None) -> jnp.ndarray:
+    """``act((LN(x) * (1 + scale) + shift) @ w + bias)`` per batch row.
+
+    x ``[B, M, K]``; scale/shift ``[B, K]`` (AdaLN modulation vectors); w
+    ``[K, N]``; bias ``[N]``. LN is scale/bias-free layernorm over K with fp32
+    statistics. Returns ``[B, M, N]`` in x.dtype. Differentiable via a
+    reference-implementation custom_jvp (same pattern as serving_attention).
+    """
+    if interpret is None:
+        interpret = not _on_tpu()
+    return _ln_mod_matmul(x, scale, shift, w, bias, activation, eps, interpret)
 
 
 @functools.partial(jax.jit, static_argnames=("mask_rows", "interpret"))

@@ -73,7 +73,18 @@ def build_trainer(cfg: TrainConfig, vocab_size: int, total_updates: int,
             "bnb_optimizer=true is CUDA-only (bitsandbytes); the TPU build always "
             "uses optax AdamW — drop the flag from the config"
         )
-    transformer = build_backbone(cfg.model, text_num_embeds=vocab_size)
+    if cfg.model.compute_dtype not in ("bfloat16", "float32"):
+        raise ValueError(
+            f"compute_dtype {cfg.model.compute_dtype!r}: training supports "
+            "'bfloat16' (measured v5e recipe) or 'float32'"
+        )
+    import jax.numpy as _jnp
+
+    transformer = build_backbone(
+        cfg.model, text_num_embeds=vocab_size,
+        compute_dtype=_jnp.bfloat16 if cfg.model.compute_dtype == "bfloat16"
+        else _jnp.float32,
+    )
     cfm = CFM.build(transformer, cfg.model.mel_spec)
     optimizer = make_optimizer(
         learning_rate=cfg.optim.learning_rate,
@@ -279,6 +290,9 @@ def finetune_main(argv=None):
     p.add_argument("--finetune", action="store_true", default=True)
     p.add_argument("--from-scratch", dest="finetune", action="store_false")
     p.add_argument("--use_duration_predictor", action="store_true")
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="training matmul dtype; params/optimizer stay float32")
     p.add_argument("--duration_focus_updates", type=int, default=12000)
     p.add_argument("--logger", default="tensorboard",
                    choices=["tensorboard", "wandb", "none"])
@@ -306,7 +320,8 @@ def finetune_main(argv=None):
 
     cfg = TrainConfig(
         model=dataclasses.replace(model_cfg, tokenizer=args.tokenizer,
-                                  tokenizer_path=args.tokenizer_path),
+                                  tokenizer_path=args.tokenizer_path,
+                                  compute_dtype=args.compute_dtype),
         optim=OptimConfig(
             epochs=args.epochs, learning_rate=args.learning_rate,
             num_warmup_updates=args.num_warmup_updates,

@@ -226,7 +226,7 @@ def ui_test_infer(store: ProjectStore, project: str, ckpt: str, ref_audio: str,
     tts = wrapper_factory(ckpt, os.path.join(store.path(project), "vocab.txt"))
     tts.preprocess_reference(ref_audio, ref_text)
     wav = tts.generate(gen_text, nfe_step=int(nfe), speed=float(speed))
-    return tts.sample_rate, wav
+    return tts.target_sample_rate, wav
 
 
 def ui_list_samples(store: ProjectStore, project: str) -> list[str]:

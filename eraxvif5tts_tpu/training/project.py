@@ -319,9 +319,10 @@ def calculate_train(duration_json: str, batch_size_type: str = "frame",
     max_sample_frames = max(durations) * sampling_rate / hop_length
 
     if batch_size_type == "frame":
-        # measured round 2: 36,864 frames/step fits one 16 GB v5e with remat —
-        # same 38,400-frame reference budget, scaled linearly in HBM
-        batch = max(int(38400 * (hbm_gb * n_chips) / 16.0 / n_chips),
+        # measured round 2: 36,864 frames/step fits one 16 GB v5e with remat
+        # (9 x 4096 buckets; BASELINE.md training table) — suggest the
+        # measured-safe budget, scaled linearly in HBM per chip
+        batch = max(int(36864 * (hbm_gb * n_chips) / 16.0 / n_chips),
                     int(max_sample_frames))
         updates_per_epoch = total_duration / (
             batch * n_chips * hop_length / sampling_rate)
@@ -369,6 +370,7 @@ def settings_to_cli_args(project: str, settings: dict, data_root: str) -> list[s
         "--last_per_updates", str(s["last_per_updates"]),
         "--tokenizer", str(s["tokenizer_type"]),
         "--logger", str(s["logger"]),
+        "--compute_dtype", str(s["compute_dtype"]),
         # keep checkpoints inside the project tree: every other tab
         # (Test Model, samples, resume) reads {data_root}/{project}/ckpts,
         # while the CLI's default would be CWD-relative ckpts/{exp_name}

@@ -185,7 +185,7 @@ def test_test_model_tab_infer(store, project, tmp_path):
     write_wav(ref, 0.05 * np.ones(SR // 2, np.float32), SR)
 
     class FakeTTS:
-        sample_rate = SR
+        target_sample_rate = SR  # the real F5TTSWrapper attribute name
 
         def preprocess_reference(self, audio, text):
             self.ref = (audio, text)

@@ -112,3 +112,53 @@ def test_fusion_gate_rejects_unaligned_and_oversized():
     assert not fm.use_fused_serving(64, 128, 200, jnp.bfloat16)   # n % 128
     # big shapes must fall back rather than blow the VMEM budget
     assert fm._pick_bn(2048, 4096, 2048, 2) is None
+
+
+def test_ln_mod_matmul_grad_matches_reference():
+    """The custom_jvp tangent path: grad of the fused kernel == grad of the
+    plain jnp formula (the pallas_call itself has no differentiation rule)."""
+    rng = np.random.default_rng(3)
+    b, m, k, n = 2, 16, 128, 128
+    x = jnp.asarray(rng.standard_normal((b, m, k)), jnp.float32)
+    scale = jnp.asarray(0.1 * rng.standard_normal((b, k)), jnp.float32)
+    shift = jnp.asarray(0.1 * rng.standard_normal((b, k)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)) / np.sqrt(k), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal((n,)), jnp.float32)
+
+    def fused(x_, w_):
+        return jnp.sum(fm.ln_mod_matmul(x_, scale, shift, w_, bias,
+                                        activation="gelu_tanh",
+                                        interpret=True) ** 2)
+
+    def ref(x_, w_):
+        normed = _ln(x_) * (1.0 + scale[:, None]) + shift[:, None]
+        return jnp.sum(jax.nn.gelu(normed @ w_ + bias, approximate=True) ** 2)
+
+    gx, gw = jax.grad(fused, argnums=(0, 1))(x, w)
+    rx, rw = jax.grad(ref, argnums=(0, 1))(x, w)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=2e-4, atol=2e-4)
+
+
+def test_dit_block_fused_traces_under_grad(monkeypatch):
+    """Differentiating through a deterministic fused-branch forward must trace
+    (frozen-teacher distillation, grad-over-deterministic callers) and agree
+    with the unfused branch's gradient."""
+    dim, heads, dim_head, ff_mult = 128, 2, 64, 2
+    b, n = 2, 64
+    block = DiTBlock(dim=dim, heads=heads, dim_head=dim_head, ff_mult=ff_mult,
+                     dropout=0.0, dtype=jnp.float32)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((b, n, dim)), jnp.float32)
+    t = jnp.asarray(rng.standard_normal((b, dim)), jnp.float32)
+    rope = rotary_freqs(n, dim_head)
+    params = block.init(jax.random.PRNGKey(0), x, t, rope=rope)
+
+    def loss(p, x_):
+        return jnp.sum(block.apply(p, x_, t, rope=rope) ** 2)
+
+    want = jax.grad(loss, argnums=1)(params, x)
+    monkeypatch.setattr(fm, "_FORCE_FOR_TESTS", True)
+    got = jax.grad(loss, argnums=1)(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-4, atol=5e-4)

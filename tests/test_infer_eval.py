@@ -257,8 +257,10 @@ def test_zh_wer_normalization_and_fake_asr(tmp_path):
     import pytest as _pytest
     with _pytest.raises((ImportError, NotImplementedError)):
         load_asr_fn("zh")
-    with _pytest.raises(NotImplementedError):
-        load_asr_fn("fr")
+    # every other language routes through multilingual Whisper (closure —
+    # the weights themselves are gated at call time, not at load)
+    assert callable(load_asr_fn("fr"))
+    assert callable(load_asr_fn("vi"))
 
 
 def test_eval_utmos_dir_with_injected_scorer(tmp_path):
