@@ -59,6 +59,9 @@ def main(argv=None):
                    help="final EMA export (.safetensors/.pt, reference key layout)")
     p.add_argument("--log_every", type=int, default=100)
     p.add_argument("--seed", type=int, default=666)
+    p.add_argument("--compute_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="matmul dtype for teacher+student; params stay float32")
     args = p.parse_args(argv)
 
     vocab_char_map, vocab_size = get_tokenizer(
@@ -76,9 +79,14 @@ def main(argv=None):
     student_cfg = dataclasses.replace(
         base, arch=dataclasses.replace(base.arch, depth=args.student_depth)
     )
-    teacher = build_backbone(teacher_cfg, text_num_embeds=teacher_vocab)
-    student = build_backbone(student_cfg, text_num_embeds=teacher_vocab)
     import jax
+    import jax.numpy as jnp
+
+    cdtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
+    teacher = build_backbone(teacher_cfg, text_num_embeds=teacher_vocab,
+                             compute_dtype=cdtype)
+    student = build_backbone(student_cfg, text_num_embeds=teacher_vocab,
+                             compute_dtype=cdtype)
 
     # device_put once — numpy leaves would re-upload the whole frozen teacher
     # (~670 MB) to the device on EVERY distillation step
