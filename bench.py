@@ -79,6 +79,13 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    if args.smoke:
+        # genuinely CPU-safe: the axon sitecustomize force-sets
+        # jax_platforms="axon,cpu" (env JAX_PLATFORMS is ignored) and a downed
+        # tunnel HANGS backend init rather than failing over — force cpu here
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     bucket = args.bucket or (128 if args.smoke else 1024)

@@ -80,6 +80,12 @@ def _flash_attention(q, k, v, key_valid, trainable: bool = False):
     return out.swapaxes(1, 2)
 
 
+def _pad64_enabled() -> bool:
+    import os
+
+    return os.environ.get("ERAX_SERVING_ATTN_PAD64", "0") == "1"
+
+
 def use_serving_kernel(q, k, v, trainable: bool, key_valid, prefix_key_mask: bool,
                        implementation: str | None = None) -> bool:
     """True when the one-shot serving kernel will handle this shape — callers
@@ -97,10 +103,14 @@ def use_serving_kernel(q, k, v, trainable: bool, key_valid, prefix_key_mask: boo
         # 64-aligned sequences ride the one-shot fat-q block when it fits the
         # calibrated VMEM model (64-step duration buckets halve the ODE's
         # padding waste vs 128-step ones); anything else falls through to the
-        # unfused XLA attention (the flash kernel also needs n % 128 == 0)
+        # unfused XLA attention (the flash kernel also needs n % 128 == 0).
+        # ERAX_SERVING_ATTN_PAD64=1 instead runs the kernel at the next
+        # 128-multiple with masked pad frames (exact; ~0.8% end-to-end cost) —
+        # the escape hatch if Mosaic rejects the one-shot layout on some
+        # hardware/toolchain.
         from eraxvif5tts_tpu.ops.serving_attention import one_shot_feasible
 
-        if not one_shot_feasible(n, h, d):
+        if not _pad64_enabled() and not one_shot_feasible(n, h, d):
             return False
     return (
         os.environ.get("ERAX_SERVING_ATTN", "1") != "0"
@@ -143,11 +153,16 @@ def dot_product_attention(
     n, d = q.shape[1], q.shape[3]
     if use_serving_kernel(q, k, v, trainable, key_valid, prefix_key_mask,
                           implementation):
-        from eraxvif5tts_tpu.ops.serving_attention import serving_attention
+        from eraxvif5tts_tpu.ops.serving_attention import (
+            padded_serving_attention,
+            serving_attention,
+        )
 
         lens = None
         if key_valid is not None:
             lens = jnp.sum(key_valid.astype(jnp.int32), axis=-1)
+        if n % 128 and _pad64_enabled():
+            return padded_serving_attention(q, k, v, lens, rope=rope)
         return serving_attention(q, k, v, lens, rope=rope)
     assert rope is None, "fused rope requires the serving kernel path"
     if (

@@ -200,6 +200,21 @@ def test_serving_attention_64_aligned_one_shot():
             assert one_shot_feasible(nn, 16, 64), nn
     # infeasible shapes are refused, not mis-blocked
     assert not one_shot_feasible(1984, 16, 64)
+
+    # the pad-to-128 escape hatch (ERAX_SERVING_ATTN_PAD64) is exact: padded
+    # keys are masked out, padded query rows sliced off, zero rope angles are
+    # the identity rotation
+    from eraxvif5tts_tpu.ops.serving_attention import padded_serving_attention
+
+    out_pad = padded_serving_attention(q, k, v, lens, rope=rope, interpret=True)
+    assert out_pad.shape == q.shape
+    diff = np.abs(np.asarray(out_pad - ref)) * np.asarray(mask)[:, :, None, None]
+    assert diff.max() < 1e-5, diff.max()
+    # lens=None means "all n valid", not "all n+pad valid"
+    full = padded_serving_attention(q, k, v, None, rope=rope, interpret=True)
+    want = serving_attention(q, k, v, jnp.asarray([n, n]), rope=rope,
+                             interpret=True)
+    assert np.abs(np.asarray(full - want)).max() < 1e-6
     import pytest
 
     with pytest.raises(ValueError, match="no VMEM-feasible"):
