@@ -97,6 +97,37 @@ def test_infer_cli_run(wrapper, ref_wav_path, tmp_path, monkeypatch):
     assert sr == SR and wav.shape[1] > 0
 
 
+def test_bundled_example_tomls(ref_wav_path, tmp_path, wrapper):
+    """The shipped infer/examples configs (reference `infer/examples/*`) parse
+    through merge_config, reference files that exist, and the multi-voice story
+    only uses voices the story.toml configures."""
+    root = os.path.join(os.path.dirname(__file__), "..")
+    basic = os.path.join(root, "eraxvif5tts_tpu/infer/examples/basic/basic.toml")
+    story = os.path.join(root, "eraxvif5tts_tpu/infer/examples/multi/story.toml")
+
+    cfg = merge_config(parse_args(["-c", basic]))
+    assert os.path.isfile(os.path.join(root, cfg["ref_audio"]))
+    assert cfg["ref_text"] and cfg["gen_text"]
+    wav, sr = read_wav(os.path.join(root, cfg["ref_audio"]))
+    assert sr == SR and wav.shape[1] > SR  # >1 s of 24 kHz audio
+
+    cfg = merge_config(parse_args(["-c", story]))
+    assert set(cfg["voices"]) == {"town", "country"}
+    for voice in cfg["voices"].values():
+        assert os.path.isfile(os.path.join(root, voice["ref_audio"]))
+    text = open(os.path.join(root, cfg["gen_file"])).read()
+    used = {name for name, _ in split_voice_chunks(text)}
+    assert used == {"main", "town", "country"}
+
+    # the basic example drives the CLI end to end (tiny wrapper, its own ref)
+    cfg = merge_config(parse_args([
+        "-c", basic, "-r", ref_wav_path, "-s", "hello ref.",
+        "-t", "an example config test.", "-o", str(tmp_path),
+        "--nfe_step", "2", "--seed", "0",
+    ]))
+    assert os.path.isfile(run(cfg, wrapper=wrapper))
+
+
 def test_merge_config_toml(tmp_path):
     toml = tmp_path / "cfg.toml"
     toml.write_text('model = "F5TTS_v1_Base"\nnfe_step = 16\nref_audio = "x.wav"\n')
