@@ -213,6 +213,23 @@ if __name__ == "__main__":  # pragma: no cover
     p3.add_argument("output")
     p3.add_argument("--language", default="vi")
     p3.add_argument("--shuffle", action="store_true")
+    # public-corpus preparers (reference `train/datasets/prepare_{emilia,
+    # libritts,wenetspeech4tts}.py`) share the size/filter flags
+    corpora = {}
+    for name, default_subsets in (
+        ("emilia", "ZH,EN"),
+        ("libritts", "train-clean-100,train-clean-360,train-other-500"),
+        ("wenetspeech4tts", "Premium"),
+    ):
+        pc = sub.add_parser(name, help=f"{name} layout -> arrow/duration/vocab")
+        pc.add_argument("dataset_dir")
+        pc.add_argument("output_dir")
+        pc.add_argument("--subsets", default=default_subsets,
+                        help="comma-separated"
+                        + (" language dirs" if name == "emilia" else " subsets"))
+        pc.add_argument("--min-seconds", type=float, default=0.4)
+        pc.add_argument("--max-seconds", type=float, default=30.0)
+        corpora[name] = pc
     args = ap.parse_args()
     if args.cmd == "csv_wavs":
         print(prepare_csv_wavs(args.input_dir, args.output_dir,
@@ -220,6 +237,14 @@ if __name__ == "__main__":  # pragma: no cover
                                use_pinyin=not args.no_pinyin))
     elif args.cmd == "ljspeech":
         print(prepare_ljspeech(args.ljspeech_dir, args.output_dir))
+    elif args.cmd in corpora:
+        from eraxvif5tts_tpu.training import prepare_corpora
+
+        fn = getattr(prepare_corpora, f"prepare_{args.cmd}")
+        subsets = tuple(s for s in args.subsets.split(",") if s)
+        kw = {"languages" if args.cmd == "emilia" else "subsets": subsets}
+        print(fn(args.dataset_dir, args.output_dir,
+                 min_seconds=args.min_seconds, max_seconds=args.max_seconds, **kw))
     else:
         print(prepare_phonemes(args.metadata, args.output,
                                language=args.language, shuffle=args.shuffle))

@@ -112,6 +112,37 @@ def test_pt_safetensors_conversion_and_embedding_tools(tmp_path, torch_layout_sd
     )
 
 
+def test_compression_cli(tmp_path, torch_layout_sd, capsys):
+    """`python -m eraxvif5tts_tpu.compression` subcommands over the library core
+    (reference ships these as five standalone scripts under model_pruning/)."""
+    import torch as _torch
+
+    from eraxvif5tts_tpu.compression.__main__ import main
+
+    pt = str(tmp_path / "m.pt")
+    _torch.save({k: _torch.from_numpy(np.ascontiguousarray(v))
+                 for k, v in torch_layout_sd.items()}, pt)
+
+    out = str(tmp_path / "cli.safetensors")
+    assert main(["convert", pt, out]) == 0
+    assert "tensors" in capsys.readouterr().out
+
+    assert main(["inspect", out, "--max-keys", "3"]) == 0
+    report = capsys.readouterr().out
+    assert '"n_tensors"' in report and '"depth": 6' in report
+
+    assert main(["embedding-size", out]) == 0
+    assert capsys.readouterr().out.strip() == "9"  # 8 vocab + 1 filler
+
+    grown = str(tmp_path / "grown.safetensors")
+    assert main(["expand-embedding", pt, grown, "--vocab-size", "20"]) == 0
+    assert "9 -> 21" in capsys.readouterr().out
+
+    assert main(["prune", pt, str(tmp_path / "pruned.safetensors"),
+                 "--target-layers", "4", "--skip-test"]) == 0
+    assert "kept blocks" in capsys.readouterr().out
+
+
 # ---------------------------------------------------------------------------
 # distillation
 
