@@ -74,6 +74,29 @@ def merge_config(args) -> dict:
 _VOICE_SPLIT = re.compile(r"(?=\[\w+\])")
 _VOICE_TAG = re.compile(r"\[(\w+)\]")
 
+# Directory that contains the ``eraxvif5tts_tpu`` package — bundled example
+# configs reference clips as ``eraxvif5tts_tpu/infer/examples/...`` so they
+# resolve here regardless of CWD (reference infer_cli.py remaps its
+# ``infer/examples/`` paths through importlib.resources the same way).
+_PKG_ROOT = Path(__file__).resolve().parents[2]
+
+
+def resolve_example_path(path: str) -> str:
+    """Remap bundled-example paths to the installed package location.
+
+    Paths that exist relative to CWD (or are absolute) pass through untouched;
+    a missing path that points inside ``eraxvif5tts_tpu/infer/examples/`` is
+    retried against the package root so `-c .../basic.toml` works from any CWD.
+    """
+    if not path or os.path.exists(path):
+        return path
+    norm = path.replace("\\", "/")
+    if "eraxvif5tts_tpu/infer/examples/" in norm:
+        candidate = _PKG_ROOT / norm[norm.index("eraxvif5tts_tpu/"):]
+        if candidate.exists():
+            return str(candidate)
+    return path
+
 
 def split_voice_chunks(gen_text: str) -> list[tuple[str, str]]:
     """-> [(voice_name, text)] with 'main' default (`infer_cli.py:306-321`)."""
@@ -90,7 +113,7 @@ def split_voice_chunks(gen_text: str) -> list[tuple[str, str]]:
 def run(config: dict, wrapper: F5TTSWrapper | None = None) -> str:
     gen_text = config.get("gen_text")
     if config.get("gen_file"):
-        gen_text = Path(config["gen_file"]).read_text(encoding="utf-8")
+        gen_text = Path(resolve_example_path(config["gen_file"])).read_text(encoding="utf-8")
     assert gen_text, "gen_text or gen_file required"
 
     if wrapper is None:
@@ -105,7 +128,7 @@ def run(config: dict, wrapper: F5TTSWrapper | None = None) -> str:
     voices.update(config.get("voices", {}))
     for name, voice in voices.items():
         voice["ref_audio"], voice["ref_text"] = preprocess_ref_audio_text(
-            voice["ref_audio"], voice.get("ref_text", "")
+            resolve_example_path(voice["ref_audio"]), voice.get("ref_text", "")
         )
 
     sample_kwargs = {

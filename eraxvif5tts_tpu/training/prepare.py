@@ -215,7 +215,7 @@ if __name__ == "__main__":  # pragma: no cover
     p3.add_argument("--shuffle", action="store_true")
     # public-corpus preparers (reference `train/datasets/prepare_{emilia,
     # libritts,wenetspeech4tts}.py`) share the size/filter flags
-    corpora = {}
+    corpora = ("emilia", "libritts", "wenetspeech4tts")
     for name, default_subsets in (
         ("emilia", "ZH,EN"),
         ("libritts", "train-clean-100,train-clean-360,train-other-500"),
@@ -229,7 +229,6 @@ if __name__ == "__main__":  # pragma: no cover
                         + (" language dirs" if name == "emilia" else " subsets"))
         pc.add_argument("--min-seconds", type=float, default=0.4)
         pc.add_argument("--max-seconds", type=float, default=30.0)
-        corpora[name] = pc
     args = ap.parse_args()
     if args.cmd == "csv_wavs":
         print(prepare_csv_wavs(args.input_dir, args.output_dir,
@@ -241,7 +240,7 @@ if __name__ == "__main__":  # pragma: no cover
         from eraxvif5tts_tpu.training import prepare_corpora
 
         fn = getattr(prepare_corpora, f"prepare_{args.cmd}")
-        subsets = tuple(s for s in args.subsets.split(",") if s)
+        subsets = tuple(s.strip() for s in args.subsets.split(",") if s.strip())
         kw = {"languages" if args.cmd == "emilia" else "subsets": subsets}
         print(fn(args.dataset_dir, args.output_dir,
                  min_seconds=args.min_seconds, max_seconds=args.max_seconds, **kw))

@@ -56,6 +56,7 @@ def prepare_libritts(dataset_dir: str, save_dir: str,
     for subset in subsets:
         base = Path(dataset_dir) / subset
         if not base.is_dir():
+            print(f"WARNING: subset dir not found, skipping: {base}")
             continue
         for wav in base.rglob("*.wav"):
             text_path = wav.with_suffix(".normalized.txt")
@@ -84,6 +85,9 @@ def prepare_emilia(dataset_dir: str, save_dir: str, languages: tuple[str, ...] =
     vocab_set: set[str] = set()
     for lang in languages:
         base = Path(dataset_dir) / lang
+        if not base.is_dir():
+            print(f"WARNING: language dir not found, skipping: {base}")
+            continue
         filters = EMILIA_ZH_FILTERS if lang == "ZH" else EMILIA_EN_FILTERS
         for jsonl in sorted(base.glob("*.jsonl")):
             with open(jsonl, "r", encoding="utf-8") as f:
@@ -127,6 +131,7 @@ def prepare_wenetspeech4tts(dataset_dir: str, save_dir: str,
     for subset in subsets:
         base = Path(dataset_dir) / subset
         if not base.is_dir():
+            print(f"WARNING: subset dir not found, skipping: {base}")
             continue
         for wav in base.rglob("*.wav"):
             txt = wav.with_suffix(".txt")

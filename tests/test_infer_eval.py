@@ -18,7 +18,13 @@ from eraxvif5tts_tpu.eval.utils_eval import (
     get_seedtts_testset_metainfo,
     word_error_rate,
 )
-from eraxvif5tts_tpu.infer.infer_cli import merge_config, parse_args, run, split_voice_chunks
+from eraxvif5tts_tpu.infer.infer_cli import (
+    merge_config,
+    parse_args,
+    resolve_example_path,
+    run,
+    split_voice_chunks,
+)
 from eraxvif5tts_tpu.infer.speech_edit import edit_speech
 from eraxvif5tts_tpu.infer.utils_infer import infer_batch_process, infer_process
 from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
@@ -118,6 +124,18 @@ def test_bundled_example_tomls(ref_wav_path, tmp_path, wrapper):
     text = open(os.path.join(root, cfg["gen_file"])).read()
     used = {name for name, _ in split_voice_chunks(text)}
     assert used == {"main", "town", "country"}
+
+    # example-relative paths resolve from ANY cwd via resolve_example_path
+    monkey_cwd = os.getcwd()
+    try:
+        os.chdir(tmp_path)
+        resolved = resolve_example_path(cfg["voices"]["town"]["ref_audio"])
+        assert os.path.isabs(resolved) and os.path.isfile(resolved)
+        resolved_story = resolve_example_path(cfg["gen_file"])
+        assert os.path.isfile(resolved_story)
+        assert resolve_example_path("no/such/file.wav") == "no/such/file.wav"
+    finally:
+        os.chdir(monkey_cwd)
 
     # the basic example drives the CLI end to end (tiny wrapper, its own ref)
     cfg = merge_config(parse_args([
