@@ -371,6 +371,22 @@ class F5TTSWrapper:
         self.ref: Optional[ReferenceState] = None
         self._last_wave: Optional[np.ndarray] = None
 
+    def _dispatch_sample_vocode(self, *args, **kwargs):
+        """Jit dispatch with the pad-to-128 self-heal for 64-aligned buckets.
+
+        Compilation happens synchronously at dispatch; if Mosaic rejects the
+        64-only-aligned one-shot attention layout, flip the pad64 fallback
+        (exact numerics) and retry once — see `ops/attention.maybe_force_pad64`.
+        """
+        try:
+            return self._sample_vocode_jit(*args, **kwargs)
+        except Exception as exc:  # pragma: no cover - toolchain dependent
+            from eraxvif5tts_tpu.ops.attention import maybe_force_pad64
+
+            if maybe_force_pad64(exc, int(kwargs.get("max_duration", 0))):
+                return self._sample_vocode_jit(*args, **kwargs)
+            raise
+
     # ------------------------------------------------------------------
 
     def preprocess_reference(
@@ -518,7 +534,7 @@ class F5TTSWrapper:
 
             rms_scale = ref.rms / self.target_rms if 0 < ref.rms < self.target_rms else 1.0
             vstart = max(ref.n_frames - VOCODE_MARGIN_FRAMES, 0)
-            pcm, out = self._sample_vocode_jit(
+            pcm, out = self._dispatch_sample_vocode(
                 self.params,
                 self.vocoder_params,
                 ref.mel,
@@ -632,7 +648,7 @@ class F5TTSWrapper:
         else:
             text_in, dur_in, lens_in = map(jnp.asarray, (text_arr, dur_arr, lens_arr))
         vstart = max(ref.n_frames - VOCODE_MARGIN_FRAMES, 0)
-        pcm, _ = self._sample_vocode_jit(
+        pcm, _ = self._dispatch_sample_vocode(
             self.params,
             self.vocoder_params,
             cond,

@@ -80,10 +80,40 @@ def _flash_attention(q, k, v, key_valid, trainable: bool = False):
     return out.swapaxes(1, 2)
 
 
+_PAD64_FORCED = False
+
+
 def _pad64_enabled() -> bool:
     import os
 
-    return os.environ.get("ERAX_SERVING_ATTN_PAD64", "0") == "1"
+    return _PAD64_FORCED or os.environ.get("ERAX_SERVING_ATTN_PAD64", "0") == "1"
+
+
+def maybe_force_pad64(exc: BaseException, n: int) -> bool:
+    """Auto-enable the pad-to-128 serving path after a Mosaic compile failure.
+
+    The 64-only-aligned one-shot layout is validated in interpret mode but a
+    hardware/toolchain combination could still reject it at compile time
+    (scoped-vmem or Mosaic lowering errors). Callers wrap their first jit
+    dispatch at a 64-only-aligned bucket: on such a failure this flips the
+    module-level pad64 flag (same effect as ``ERAX_SERVING_ATTN_PAD64=1``,
+    exact numerics, ~0.8% cost) and returns True so the caller retries — the
+    failed compile was never cached, so the retry retraces with padding.
+    """
+    global _PAD64_FORCED
+    if _PAD64_FORCED or n % 128 == 0:
+        return False
+    msg = str(exc).lower()
+    if "mosaic" not in msg and "vmem" not in msg:
+        return False
+    import warnings
+
+    warnings.warn(
+        "serving attention: Mosaic rejected the 64-aligned one-shot kernel "
+        f"(n={n}); auto-enabling pad-to-128 fallback and retrying: {exc}"
+    )
+    _PAD64_FORCED = True
+    return True
 
 
 def use_serving_kernel(q, k, v, trainable: bool, key_valid, prefix_key_mask: bool,

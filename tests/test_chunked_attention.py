@@ -219,3 +219,63 @@ def test_serving_attention_64_aligned_one_shot():
 
     with pytest.raises(ValueError, match="no VMEM-feasible"):
         _headloop_blocks(1984, 16, 64)
+
+def test_pad64_auto_fallback_on_mosaic_failure(monkeypatch):
+    """A Mosaic/scoped-vmem compile failure at a 64-only-aligned bucket flips
+    the module pad64 flag exactly once (self-heal without the env var); other
+    errors and 128-aligned shapes never trigger it."""
+    from eraxvif5tts_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_PAD64_FORCED", False)
+    err = RuntimeError("Mosaic failed to compile: scoped vmem limit exceeded")
+    # 128-aligned shapes can't be cured by padding -> no flip
+    assert not A.maybe_force_pad64(err, 1024)
+    assert not A._PAD64_FORCED
+    # unrelated errors -> no flip
+    assert not A.maybe_force_pad64(RuntimeError("out of host memory"), 1088)
+    assert not A._PAD64_FORCED
+    # the real case flips the flag, warns, and reports retry-worthy
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert A.maybe_force_pad64(err, 1088)
+    assert A._PAD64_FORCED and any("pad-to-128" in str(x.message) for x in w)
+    assert A._pad64_enabled()
+    # once forced, a second failure is not retried again (no infinite loop)
+    assert not A.maybe_force_pad64(err, 1088)
+
+
+def test_wrapper_dispatch_retries_after_mosaic_failure(monkeypatch):
+    """F5TTSWrapper._dispatch_sample_vocode retries the jit call once after the
+    pad64 flag flips, and propagates anything else."""
+    from eraxvif5tts_tpu.ops import attention as A
+
+    monkeypatch.setattr(A, "_PAD64_FORCED", False)
+
+    class FakeWrapper:
+        calls = 0
+
+        def _sample_vocode_jit(self, *a, **kw):
+            self.calls += 1
+            if self.calls == 1:
+                raise RuntimeError("Mosaic lowering error: scoped vmem")
+            return "pcm", "mel"
+
+    from eraxvif5tts_tpu.infer.wrapper import F5TTSWrapper
+
+    fw = FakeWrapper()
+    out = F5TTSWrapper._dispatch_sample_vocode(fw, max_duration=1088)
+    assert out == ("pcm", "mel") and fw.calls == 2 and A._PAD64_FORCED
+
+    monkeypatch.setattr(A, "_PAD64_FORCED", False)
+
+    class FailOther:
+        def _sample_vocode_jit(self, *a, **kw):
+            raise ValueError("bad input")
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bad input"):
+        F5TTSWrapper._dispatch_sample_vocode(FailOther(), max_duration=1088)
+    assert not A._PAD64_FORCED
