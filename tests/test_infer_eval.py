@@ -392,3 +392,52 @@ def test_chat_response_synthesis(wrapper, ref_wav_path):
     assert out is not None
     sr, wave = out
     assert sr == SR and len(wave) > 0 and np.isfinite(wave).all()
+
+
+def test_eval_cli_seedtts_librispeech_utmos(tmp_path, ref_wav_path):
+    """`python -m eraxvif5tts_tpu.eval` drivers (reference eval_seedtts_testset /
+    eval_librispeech_test_clean / eval_utmos entry points) with injected
+    scorers: jsonl written into the gen dir, summary aggregates returned."""
+    from eraxvif5tts_tpu.eval.__main__ import main as eval_main
+
+    gen = tmp_path / "gen"
+    gen.mkdir()
+    t = np.arange(SR // 8) / SR
+    for utt in ("utt1", "utt2"):
+        write_wav(str(gen / f"{utt}.wav"),
+                  (0.1 * np.sin(2 * np.pi * 200 * t)).astype(np.float32), SR)
+
+    meta = tmp_path / "meta.lst"
+    meta.write_text(f"utt1|prompt one|{ref_wav_path}|target one\n"
+                    f"utt2|prompt two|{ref_wav_path}|target two|gt2.wav\n")
+
+    fake_asr = lambda path: "target one" if "utt1" in path else "wrong text"
+    s = eval_main(["seedtts", "-m", str(meta), "-g", str(gen), "-e", "wer",
+                   "-n", "2"], asr_fn=fake_asr)
+    assert s["n"] == 2 and s["wer_mean"] == pytest.approx(0.5)
+    lines = (gen / "_wer_results.jsonl").read_text().strip().splitlines()
+    assert len(lines) == 3 and json.loads(lines[0])["wer"] == 0.0
+
+    fake_embed = lambda path: np.ones(4) if "utt" in os.path.basename(path) else np.array([1.0, 0, 0, 0])
+    s = eval_main(["seedtts", "-m", str(meta), "-g", str(gen), "-e", "sim"],
+                  embed_fn=fake_embed)
+    assert s["n"] == 2 and s["sim_mean"] == pytest.approx(0.5)
+    assert (gen / "_sim_results.jsonl").is_file()
+
+    # librispeech cross-sentence metalst: tab-separated, .flac paths derived
+    # from speaker-chapter utterance ids; gen wavs live in gen_wav_dir
+    ls_meta = tmp_path / "ls.lst"
+    ls_meta.write_text(
+        "1089-134686-0001\t3.0\tref text a\t1089-134686-0005\t4.0\tgen text a\n"
+        "1188-133604-0002\t2.5\tref text b\t1188-133604-0007\t5.0\tgen text b\n")
+    for utt in ("1089-134686-0005", "1188-133604-0007"):
+        write_wav(str(gen / f"{utt}.wav"),
+                  (0.1 * np.sin(2 * np.pi * 200 * t)).astype(np.float32), SR)
+    fake_asr2 = lambda path: "gen text a" if "0005" in path else "gen text b"
+    s = eval_main(["librispeech", "-m", str(ls_meta), "-p", str(tmp_path),
+                   "-g", str(gen), "-e", "wer"], asr_fn=fake_asr2)
+    assert s["n"] == 2 and s["wer_mean"] == 0.0
+
+    s = eval_main(["utmos", "-g", str(gen)], utmos_fn=lambda p: 3.5)
+    assert s["n"] == 4 and s["utmos_mean"] == pytest.approx(3.5)
+    assert (gen / "_utmos_results.jsonl").is_file()
