@@ -492,7 +492,13 @@ class F5TTSWrapper:
         max_chars = int(
             len(ref.text.encode("utf-8")) / ref_sec * max(22.0 - ref_sec, 1.0)
         )
-        chunks = chunk_text(text, max_chars=max(max_chars, 16))
+        # capped so ref-text tokens + chunk tokens always fit the largest text
+        # bucket (each sample tokenizes ref.text + chunk; UTF-8 bytes bound the
+        # pinyin token count) — an unbreakable over-budget token is hard-split
+        # by chunk_text rather than erroring at list_str_to_idx
+        bucket_budget = max(self.text_buckets[-1] - len(ref.text.encode("utf-8")) - 2, 16)
+        max_chars = min(max(max_chars, 16), bucket_budget)
+        chunks = chunk_text(text, max_chars=max_chars, hard_max=bucket_budget)
 
         key = jax.random.key(seed if seed is not None else _random.randrange(2**31))
 

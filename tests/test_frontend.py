@@ -163,3 +163,30 @@ def test_chunk_text_single_short():
 def test_chunk_text_cjk_punct():
     chunks = chunk_text("你好。我很好。", max_chars=9)
     assert chunks == ["你好。", "我很好。"]
+
+
+def test_chunk_text_hard_splits_oversized_pieces():
+    """A piece with no sentence punctuation that exceeds max_chars is split at
+    whitespace, and an unbreakable overlong word at character boundaries, so
+    every chunk fits the static text buckets (the reference's dynamic shapes
+    never need this; erroring would be worse than an extra boundary)."""
+    # unbreakable 300-char word -> ceil(300/40) chunks, nothing lost
+    chunks = chunk_text("a" * 300, max_chars=40, hard_max=40)
+    assert all(len(c.encode("utf-8")) <= 40 for c in chunks)
+    assert "".join(chunks) == "a" * 300
+
+    # long whitespace-only-separable run splits at word boundaries
+    text = "word " * 30
+    chunks = chunk_text(text.strip(), max_chars=24, hard_max=24)
+    assert all(len(c.encode("utf-8")) <= 24 for c in chunks)
+    assert " ".join(chunks).split() == text.split()
+
+    # multibyte chars are never cut mid-codepoint
+    chunks = chunk_text("你" * 50, max_chars=10, hard_max=10)
+    assert all(len(c.encode("utf-8")) <= 10 for c in chunks)
+    assert "".join(chunks) == "你" * 50
+
+    # normal sentence-packed input is unchanged by the post-pass
+    assert chunk_text("xin chao", max_chars=135, hard_max=135) == ["xin chao"]
+    # without hard_max, reference semantics: oversized sentences stay whole
+    assert chunk_text("a" * 300, max_chars=40) == ["a" * 300]
