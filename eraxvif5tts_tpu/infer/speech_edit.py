@@ -41,11 +41,26 @@ def edit_speech(
     sr = wrapper.target_sample_rate
     hop = wrapper.hop_length
 
+    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+    clip_seconds = len(audio) / sr
+    spans: list[tuple[float, float]] = []
+    prev_end = 0.0
+    for start, end in edit_spans_seconds:
+        start, end = max(start, prev_end), min(end, clip_seconds)
+        if end <= start:
+            raise ValueError(
+                f"edit span ({start:.3f}, {end:.3f}) is empty after clamping to "
+                f"the {clip_seconds:.3f}s clip and the previous span's end "
+                f"({prev_end:.3f}); spans must be ascending, non-overlapping and "
+                "inside the clip"
+            )
+        spans.append((start, end))
+        prev_end = end
+
     parts: list[np.ndarray] = []
     edit_mask_parts: list[np.ndarray] = []
     offset = 0.0
-    audio = np.asarray(audio, dtype=np.float32).reshape(-1)
-    for i, (start, end) in enumerate(edit_spans_seconds):
+    for i, (start, end) in enumerate(spans):
         fixed = fix_durations_seconds[i] if fix_durations_seconds else end - start
         keep = audio[int(offset * sr): int(start * sr)]
         parts.append(keep)

@@ -441,3 +441,28 @@ def test_eval_cli_seedtts_librispeech_utmos(tmp_path, ref_wav_path):
     s = eval_main(["utmos", "-g", str(gen)], utmos_fn=lambda p: 3.5)
     assert s["n"] == 4 and s["utmos_mean"] == pytest.approx(3.5)
     assert (gen / "_utmos_results.jsonl").is_file()
+
+
+def test_speech_edit_span_validation(wrapper, ref_wav_path):
+    """Spans are clamped to the clip and to the previous span's end; an empty
+    span after clamping raises a clear ValueError instead of a numpy shape
+    error deep in the mask assembly."""
+    wav, _ = read_wav(ref_wav_path)
+    kw = dict(nfe_step=2, seed=0, use_pinyin=False)
+
+    # end past the clip -> clamped, synthesizes
+    out = edit_speech(wrapper, wav[0], "hello ref", "hello dog",
+                      edit_spans_seconds=[(0.2, 5.0)], **kw)
+    assert len(out) > 0 and np.isfinite(out).all()
+    # negative start -> clamped to 0
+    out = edit_speech(wrapper, wav[0], "hello ref", "hello dog",
+                      edit_spans_seconds=[(-0.1, 0.12)], **kw)
+    assert len(out) > 0 and np.isfinite(out).all()
+    # overlap -> second span trimmed to start at the first span's end
+    out = edit_speech(wrapper, wav[0], "hello ref", "hello dog",
+                      edit_spans_seconds=[(0.01, 0.1), (0.05, 0.2)], **kw)
+    assert len(out) > 0 and np.isfinite(out).all()
+    # inverted span -> loud error
+    with pytest.raises(ValueError, match="edit span"):
+        edit_speech(wrapper, wav[0], "hello ref", "hello dog",
+                    edit_spans_seconds=[(0.2, 0.1)], **kw)
