@@ -31,6 +31,23 @@ class F5TTS:
         device: Optional[str] = None,
         hf_cache_dir: Optional[str] = None,
     ):
+        if ode_method != "euler":
+            raise ValueError(
+                f"ode_method {ode_method!r} not implemented (the sampler is the "
+                "reference's default fixed-step Euler, `cfm.py:197`)")
+        # honored-or-loudly-rejected (reference picks cuda/xpu/mps/cpu,
+        # `api.py:45-58`; here the accelerator is the TPU behind jax):
+        if device not in (None, "tpu", "cpu"):
+            raise ValueError(f"device {device!r} unsupported on the TPU runtime "
+                             "(use 'tpu', 'cpu', or None)")
+        if device == "cpu":
+            import jax
+
+            jax.config.update("jax_platforms", "cpu")
+        if hf_cache_dir is not None:
+            raise ValueError(
+                "hf_cache_dir is a HF-download knob; this runtime is offline — "
+                "pass ckpt_file/vocab_file paths directly")
         self.wrapper = F5TTSWrapper(
             model_name=model,
             ckpt_path=ckpt_file or None,

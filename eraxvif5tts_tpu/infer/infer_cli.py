@@ -29,6 +29,8 @@ def parse_args(argv=None):
                                 description="TPU-native F5-TTS batch inference")
     p.add_argument("-c", "--config", default=None, help="TOML config path")
     p.add_argument("-m", "--model", default=None)
+    p.add_argument("-mc", "--model_cfg", default=None,
+                   help="model config yaml path (overrides the preset's arch)")
     p.add_argument("-p", "--ckpt_file", default=None)
     p.add_argument("-v", "--vocab_file", default=None)
     p.add_argument("-r", "--ref_audio", default=None)
@@ -40,6 +42,10 @@ def parse_args(argv=None):
     p.add_argument("--save_chunk", action="store_true")
     p.add_argument("--remove_silence", action="store_true")
     p.add_argument("--vocoder_ckpt", default=None)
+    p.add_argument("--vocoder_name", default=None, choices=("vocos", "bigvgan"))
+    p.add_argument("--target_rms", type=float, default=None)
+    p.add_argument("--device", default=None,
+                   help="'tpu' (default) or 'cpu'; CUDA-family values are rejected")
     p.add_argument("--nfe_step", type=int, default=None)
     p.add_argument("--cfg_strength", type=float, default=None)
     p.add_argument("--sway_sampling_coef", type=float, default=None)
@@ -56,10 +62,11 @@ def merge_config(args) -> dict:
     if args.config:
         with open(args.config, "rb") as f:
             config = tomllib.load(f)
-    for key in ("model", "ckpt_file", "vocab_file", "ref_audio", "ref_text",
-                "gen_text", "gen_file", "output_dir", "output_file", "nfe_step",
-                "cfg_strength", "sway_sampling_coef", "speed", "fix_duration",
-                "cross_fade_duration", "vocoder_ckpt", "seed"):
+    for key in ("model", "model_cfg", "ckpt_file", "vocab_file", "ref_audio",
+                "ref_text", "gen_text", "gen_file", "output_dir", "output_file",
+                "nfe_step", "cfg_strength", "sway_sampling_coef", "speed",
+                "fix_duration", "cross_fade_duration", "vocoder_ckpt",
+                "vocoder_name", "target_rms", "device", "seed"):
         val = getattr(args, key, None)
         if val is not None:
             config[key] = val
@@ -116,12 +123,32 @@ def run(config: dict, wrapper: F5TTSWrapper | None = None) -> str:
         gen_text = Path(resolve_example_path(config["gen_file"])).read_text(encoding="utf-8")
     assert gen_text, "gen_text or gen_file required"
 
+    device = config.get("device")
+    if device not in (None, "tpu", "cpu"):
+        # honored-or-loudly-rejected: there is no CUDA/MPS on this runtime
+        raise ValueError(f"--device {device!r} unsupported on the TPU runtime "
+                         "(use 'tpu', 'cpu', or omit)")
+    if device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     if wrapper is None:
+        wrapper_kwargs = {}
+        if config.get("model_cfg"):
+            from eraxvif5tts_tpu.configs import load_model_config
+
+            wrapper_kwargs["model_cfg"] = load_model_config(
+                resolve_example_path(config["model_cfg"]))
+        if config.get("target_rms") is not None:
+            wrapper_kwargs["target_rms"] = float(config["target_rms"])
         wrapper = F5TTSWrapper(
             model_name=config["model"],
             ckpt_path=config.get("ckpt_file"),
             vocab_file=config.get("vocab_file"),
             vocoder_ckpt_path=config.get("vocoder_ckpt"),
+            vocoder_name=config.get("vocoder_name"),
+            **wrapper_kwargs,
         )
 
     voices = {"main": {"ref_audio": config["ref_audio"], "ref_text": config.get("ref_text", "")}}
@@ -134,7 +161,7 @@ def run(config: dict, wrapper: F5TTSWrapper | None = None) -> str:
     sample_kwargs = {
         k: config[k]
         for k in ("nfe_step", "cfg_strength", "sway_sampling_coef", "speed",
-                  "fix_duration", "cross_fade_duration", "seed")
+                  "fix_duration", "cross_fade_duration", "target_rms", "seed")
         if k in config
     }
 

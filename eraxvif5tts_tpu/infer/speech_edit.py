@@ -103,3 +103,70 @@ def edit_speech(
     # fetch whole buffer then trim on host (eager device slices cost ~20 ms
     # of un-jitted dispatch each through the axon tunnel)
     return np.asarray(out_wave)[0, : n_frames * hop].astype(np.float32)
+
+
+def parse_spans(text: str) -> list[tuple[float, float]]:
+    """``"1.5:2.7,4.0:4.8"`` -> [(1.5, 2.7), (4.0, 4.8)] (CLI span syntax)."""
+    spans = []
+    for piece in text.split(","):
+        start, _, end = piece.partition(":")
+        if not _:
+            raise ValueError(f"span {piece!r} must be start:end seconds")
+        spans.append((float(start), float(end)))
+    return spans
+
+
+def main(argv=None):
+    """CLI for the reference's hardcoded edit script
+    (`src/f5_tts/infer/speech_edit.py` sets the clip/texts/spans as module
+    constants; here they are flags)."""
+    import argparse
+
+    from eraxvif5tts_tpu.audio.io import read_wav, write_wav
+    from eraxvif5tts_tpu.audio.resample import resample
+
+    p = argparse.ArgumentParser(prog="eraxvif5tts-speech-edit")
+    p.add_argument("-m", "--model", default="F5TTS_v1_Base")
+    p.add_argument("-p", "--ckpt_file", default=None)
+    p.add_argument("-v", "--vocab_file", default=None)
+    p.add_argument("--vocoder_ckpt", default=None)
+    p.add_argument("-a", "--audio", required=True, help="clip to edit (wav)")
+    p.add_argument("--original_text", required=True)
+    p.add_argument("--target_text", required=True)
+    p.add_argument("--spans", required=True,
+                   help='edit spans in seconds: "start:end[,start:end...]"')
+    p.add_argument("--fix_durations", default=None,
+                   help="comma-separated replacement span lengths in seconds")
+    p.add_argument("--nfe_step", type=int, default=32)
+    p.add_argument("--cfg_strength", type=float, default=2.0)
+    p.add_argument("--sway_sampling_coef", type=float, default=-1.0)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--no_pinyin", action="store_true")
+    p.add_argument("-o", "--output", default="tests/speech_edit_out.wav")
+    args = p.parse_args(argv)
+
+    wrapper = F5TTSWrapper(model_name=args.model, ckpt_path=args.ckpt_file,
+                           vocab_file=args.vocab_file,
+                           vocoder_ckpt_path=args.vocoder_ckpt)
+    wave, sr = read_wav(args.audio)
+    if sr != wrapper.target_sample_rate:
+        wave = resample(wave, sr, wrapper.target_sample_rate)
+    fixes = ([float(x) for x in args.fix_durations.split(",")]
+             if args.fix_durations else None)
+    out = edit_speech(
+        wrapper, wave, args.original_text, args.target_text,
+        parse_spans(args.spans), fix_durations_seconds=fixes,
+        nfe_step=args.nfe_step, cfg_strength=args.cfg_strength,
+        sway_sampling_coef=args.sway_sampling_coef, seed=args.seed,
+        use_pinyin=not args.no_pinyin,
+    )
+    import os
+
+    os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+    write_wav(args.output, out, wrapper.target_sample_rate)
+    print(args.output)
+    return args.output
+
+
+if __name__ == "__main__":
+    main()

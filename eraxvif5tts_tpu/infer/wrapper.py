@@ -110,6 +110,8 @@ class F5TTSWrapper:
         vocab_file: Optional[str] = None,
         vocab_char_map: Optional[dict[str, int]] = None,
         vocoder_ckpt_path: Optional[str] = None,
+        vocoder_name: Optional[str] = None,
+        vocoder_config=None,  # BigVGANConfig override (v1-base ckpts, tiny tests)
         use_ema: bool = True,
         target_rms: float = 0.1,
         target_sample_rate: int = 24000,
@@ -139,6 +141,19 @@ class F5TTSWrapper:
             cfg = load_model_config(model_name)
         else:
             raise ValueError(f"unknown model {model_name!r} (not a preset or yaml path)")
+
+        # vocoder_name selects vocos | bigvgan and, like the reference
+        # (`f5tts_wrapper.py:91,152`), overrides the model's mel frontend so
+        # conditioning mels match what the vocoder was trained on. Default:
+        # follow the config's mel_spec_type.
+        if vocoder_name is None:
+            vocoder_name = cfg.mel_spec.mel_spec_type
+        if vocoder_name not in ("vocos", "bigvgan"):
+            raise ValueError(f"vocoder_name must be 'vocos' or 'bigvgan', got {vocoder_name!r}")
+        if vocoder_name != cfg.mel_spec.mel_spec_type:
+            cfg = dataclasses.replace(
+                cfg, mel_spec=dataclasses.replace(cfg.mel_spec, mel_spec_type=vocoder_name))
+        self.mel_spec_type = vocoder_name
 
         if vocab_char_map is not None:
             self.vocab_char_map = vocab_char_map
@@ -298,20 +313,42 @@ class F5TTSWrapper:
         # vocoder follows the serving compute dtype (params stay fp32; LN stats
         # and the ISTFT head remain fp32 inside the module) — measured 'round 3,
         # the fp32 ConvNeXt stack was a significant slice of generate() wall.
-        self.vocoder = Vocos(
-            input_channels=cfg.mel_spec.n_mel_channels,
-            n_fft=cfg.mel_spec.n_fft,
-            hop_length=cfg.mel_spec.hop_length,
-            dtype=cdtype,
-        )
-        if vocoder_params is not None:
-            self.vocoder_params = vocoder_params
-        elif vocoder_ckpt_path is not None:
-            self.vocoder_params = vocos_params_from_torch(load_state_dict(vocoder_ckpt_path))
+        # BigVGAN (the reference's alternative vocoder, selected by
+        # vocoder_name="bigvgan", `utils_infer.py:101-139`) runs fp32 like the
+        # reference does (`f5tts_wrapper.py:161`); its ~25-mel-frame receptive
+        # field fits inside VOCODE_MARGIN_FRAMES.
+        if vocoder_name == "bigvgan":
+            from eraxvif5tts_tpu.models.bigvgan import BigVGAN, bigvgan_params_from_torch
+
+            self.vocoder = BigVGAN(vocoder_config) if vocoder_config is not None else BigVGAN()
+            if vocoder_params is not None:
+                self.vocoder_params = vocoder_params
+            elif vocoder_ckpt_path is not None:
+                raw = load_state_dict(vocoder_ckpt_path)
+                self.vocoder_params = bigvgan_params_from_torch(raw, self.vocoder.config)
+            else:
+                self.vocoder_params = self.vocoder.init_random_params(
+                    np.random.default_rng(1))
+            _vocoder = self.vocoder
+            self._vocoder_apply = lambda vparams, mel: _vocoder(vparams, mel)
         else:
-            self.vocoder_params = jax.jit(self.vocoder.init)(
-                jax.random.key(1), jnp.zeros((1, cfg.mel_spec.n_mel_channels, 8))
-            )["params"]
+            self.vocoder = Vocos(
+                input_channels=cfg.mel_spec.n_mel_channels,
+                n_fft=cfg.mel_spec.n_fft,
+                hop_length=cfg.mel_spec.hop_length,
+                dtype=cdtype,
+            )
+            if vocoder_params is not None:
+                self.vocoder_params = vocoder_params
+            elif vocoder_ckpt_path is not None:
+                self.vocoder_params = vocos_params_from_torch(load_state_dict(vocoder_ckpt_path))
+            else:
+                self.vocoder_params = jax.jit(self.vocoder.init)(
+                    jax.random.key(1), jnp.zeros((1, cfg.mel_spec.n_mel_channels, 8))
+                )["params"]
+            _vocoder = self.vocoder
+            self._vocoder_apply = lambda vparams, mel: _vocoder.apply(
+                {"params": vparams}, mel)
         if mesh is not None:
             from eraxvif5tts_tpu.parallel.mesh import replicated
 
@@ -332,7 +369,7 @@ class F5TTSWrapper:
 
         self._mel_jit = jax.jit(self.mel_spec.__call__)
         self._vocode_jit = jax.jit(
-            lambda mel: self.vocoder.apply({"params": self.vocoder_params}, mel)
+            lambda mel: self._vocoder_apply(self.vocoder_params, mel)
         )
 
         # Fused sample+vocode: ONE jit region per bucket so text -> waveform is a
@@ -352,8 +389,7 @@ class F5TTSWrapper:
                 steps=steps, cfg_strength=cfg_strength,
                 sway_sampling_coef=sway, max_duration=max_duration,
             )
-            wave = self.vocoder.apply(
-                {"params": vparams}, mel[:, vocode_start:].swapaxes(1, 2))
+            wave = self._vocoder_apply(vparams, mel[:, vocode_start:].swapaxes(1, 2))
             wave = wave * rms_scale
             pcm = jnp.clip(wave, -1.0, 1.0) * 32767.0
             # ``gen_start`` (static, = ref_frames - vocode_start) drops the

@@ -466,3 +466,43 @@ def test_speech_edit_span_validation(wrapper, ref_wav_path):
     with pytest.raises(ValueError, match="edit span"):
         edit_speech(wrapper, wav[0], "hello ref", "hello dog",
                     edit_spans_seconds=[(0.2, 0.1)], **kw)
+
+
+def test_infer_cli_reference_flags_merge():
+    """-mc/--vocoder_name/--target_rms/--device reach the merged config
+    (reference infer_cli.py flag surface)."""
+    args = parse_args([
+        "-mc", "custom.yaml", "--vocoder_name", "bigvgan",
+        "--target_rms", "0.12", "--device", "tpu",
+        "-r", "x.wav", "-t", "hi.",
+    ])
+    config = merge_config(args)
+    assert config["model_cfg"] == "custom.yaml"
+    assert config["vocoder_name"] == "bigvgan"
+    assert config["target_rms"] == pytest.approx(0.12)
+    assert config["device"] == "tpu"
+
+
+def test_infer_cli_rejects_cuda_device():
+    with pytest.raises(ValueError, match="device"):
+        run({"gen_text": "hi.", "device": "cuda",
+             "output_dir": "/tmp", "output_file": "x.wav", "ref_audio": "x.wav"})
+
+
+def test_api_rejects_unsupported_knobs():
+    from eraxvif5tts_tpu.infer.api import F5TTS
+
+    with pytest.raises(ValueError, match="ode_method"):
+        F5TTS(ode_method="midpoint")
+    with pytest.raises(ValueError, match="device"):
+        F5TTS(device="cuda")
+    with pytest.raises(ValueError, match="hf_cache_dir"):
+        F5TTS(hf_cache_dir="/tmp/hf")
+
+
+def test_speech_edit_cli_span_parsing():
+    from eraxvif5tts_tpu.infer.speech_edit import parse_spans
+
+    assert parse_spans("1.5:2.7,4.0:4.8") == [(1.5, 2.7), (4.0, 4.8)]
+    with pytest.raises(ValueError, match="start:end"):
+        parse_spans("1.5-2.7")

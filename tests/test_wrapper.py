@@ -248,3 +248,32 @@ def test_generate_with_long_reference_uses_slice_path(tiny_wrapper):
     wave = w.generate("short test.", nfe_step=2, seed=3, return_numpy=True,
                       use_pinyin=False)
     assert wave.ndim == 1 and len(wave) > 0 and np.isfinite(wave).all()
+
+
+def test_wrapper_bigvgan_vocoder_end_to_end():
+    """vocoder_name="bigvgan" swaps the native BigVGAN generator in AND flips
+    the mel frontend to the bigvgan variant (reference `f5tts_wrapper.py:91,152`
+    sets mel_spec_type from vocoder_name)."""
+    from eraxvif5tts_tpu.models.bigvgan import BigVGANConfig
+
+    cfg = ModelConfig(
+        name="tiny-bv",
+        arch=ArchConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2,
+                        text_dim=32, conv_layers=1, dropout=0.0),
+        mel_spec=MelSpecConfig(),
+    )
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!?")}
+    w = F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, nfe_step=2,
+                     vocoder_name="bigvgan",
+                     vocoder_config=BigVGANConfig(upsample_initial_channel=64),
+                     duration_buckets=(64, 128), text_buckets=(64, 128))
+    assert w.mel_spec_type == "bigvgan"
+    assert w.config.mel_spec.mel_spec_type == "bigvgan"
+    w.preprocess_reference(ref_audio=_make_ref_audio(), ref_sample_rate=SR,
+                           ref_text="hello there")
+    wave = w.generate("bigvgan decode test.", nfe_step=2, seed=0,
+                      return_numpy=True, use_pinyin=False)
+    assert wave.ndim == 1 and len(wave) > 0
+    assert np.isfinite(wave).all()
+    with pytest.raises(ValueError, match="vocoder_name"):
+        F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, vocoder_name="hifigan")
