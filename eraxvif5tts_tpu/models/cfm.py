@@ -156,6 +156,8 @@ class CFM:
             "sway_sampling_coef",
             "max_duration",
             "use_cfg",
+            "no_ref_audio",
+            "t_start",
         ),
     )
     def sample(
@@ -172,6 +174,8 @@ class CFM:
         max_duration: int = 4096,
         use_cfg: bool = True,
         edit_mask: Optional[jnp.ndarray] = None,
+        no_ref_audio: bool = False,
+        t_start: float = 0.0,
     ) -> jnp.ndarray:
         """Integrate noise -> mel. Returns ``[b, max_duration, d]``; frames beyond each
         sample's ``duration`` are zero, the prompt region is pasted back from ``cond``.
@@ -185,6 +189,8 @@ class CFM:
         duration = jnp.clip(duration, None, max_duration)
 
         cond = jnp.pad(cond.astype(jnp.float32), ((0, 0), (0, max_duration - n_cond), (0, 0)))
+        if no_ref_audio:  # cond zeroed entirely (`cfm.py:143-144`)
+            cond = jnp.zeros_like(cond)
         cond_mask = lens_to_mask(lens, max_duration)
         if edit_mask is not None:
             em = edit_mask
@@ -200,7 +206,9 @@ class CFM:
         y0 = jnp.broadcast_to(noise[None], (b, max_duration, d))
         y0 = jnp.where(frame_mask[..., None], y0, 0.0)
 
-        t_grid = sway_time_grid(steps, sway_sampling_coef)
+        # t_start > 0 is the reference's duplicate_test/t_inter observation
+        # corner (`cfm.py:188-195`): integrate from an intermediate time.
+        t_grid = sway_time_grid(steps, sway_sampling_coef, t_start)
 
         # Text embeddings once, outside the Euler loop.
         apply = functools.partial(self.transformer.apply, {"params": params})

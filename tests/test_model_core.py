@@ -299,3 +299,45 @@ def test_remat_policies_preserve_gradients():
         bad = dataclasses.replace(base_arch, checkpoint_activations=True,
                                   remat_policy="bogus")
         grads_for(bad)
+
+
+def test_cfm_sample_no_ref_audio_and_t_start():
+    """no_ref_audio zeroes the conditioning entirely (`cfm.py:143-144`); t_start
+    integrates from an intermediate time (the duplicate_test/t_inter corner,
+    `cfm.py:188-195`). Both must produce finite output and differ from the
+    conditioned full-trajectory sample."""
+    dit = tiny_dit()
+    cfm = CFM(transformer=dit)
+    params = jax.jit(dit.init)(
+        jax.random.key(0),
+        jnp.zeros((1, 16, 8)),
+        jnp.zeros((1, 16, 8)),
+        jnp.zeros((1, 4), jnp.int32),
+        jnp.zeros((1,)),
+    )["params"]
+    # perturb away from AdaLN-zero init: a freshly-initialized DiT predicts an
+    # identically-zero flow (zero-init gates + output proj), which would make
+    # every time grid produce the same trajectory
+    leaves, treedef = jax.tree.flatten(params)
+    rngs = jax.random.split(jax.random.key(99), len(leaves))
+    params = jax.tree.unflatten(treedef, [
+        l + 0.05 * jax.random.normal(r, l.shape, l.dtype)
+        for l, r in zip(leaves, rngs)
+    ])
+    cond = jax.random.normal(jax.random.key(1), (1, 10, 8))
+    text = jnp.asarray([[1, 2, 3, -1]], jnp.int32)
+    lens, duration, key = jnp.asarray([10]), jnp.asarray([20]), jax.random.key(7)
+
+    base = np.asarray(cfm.sample(params, cond, text, duration, lens, key,
+                                 steps=2, max_duration=32))
+    noref = np.asarray(cfm.sample(params, cond, text, duration, lens, key,
+                                  steps=2, max_duration=32, no_ref_audio=True))
+    assert np.isfinite(noref).all()
+    # prompt region pastes back the ZEROED cond under no_ref_audio
+    np.testing.assert_allclose(noref[0, :10], 0.0)
+    assert np.abs(noref[0, 10:20]).max() > 0
+
+    tinter = np.asarray(cfm.sample(params, cond, text, duration, lens, key,
+                                   steps=2, max_duration=32, t_start=0.1))
+    assert np.isfinite(tinter).all()
+    assert np.abs(tinter[0, 10:20] - base[0, 10:20]).max() > 1e-6
