@@ -130,6 +130,61 @@ def epoch_batches(dataset: CustomDataset, sampler: DynamicBatchSampler,
                       phoneme_map=phoneme_map)
 
 
+def multihost_epoch_batches(dataset, sampler, vocab_char_map, epoch, mesh,
+                            tokenize=None, phoneme_map=None, executor=None,
+                            process_index: Optional[int] = None,
+                            process_count: Optional[int] = None,
+                            fixed_rows: Optional[int] = None):
+    """Per-process epoch slice for multi-host training (SURVEY.md §2.7).
+
+    Each process takes every ``process_count``-th packed batch — the reference's
+    accelerate DDP dispatches whole batches round-robin across ranks the same
+    way (`trainer.py:1137-1170`, ``even_batches=False``) — and collates to
+    FIXED static shapes (top frame/text bucket + padded batch rows) so every
+    process contributes identically-shaped local arrays. The local batches are
+    then stitched into ``P('data')``-sharded global ``jax.Array``s via
+    ``global_batch_from_local`` with no cross-host data movement; the gradient
+    all-reduce rides the mesh collectives inside the jitted step.
+
+    ``process_index``/``process_count`` default to the jax runtime's values
+    (injectable for single-process tests).
+    """
+    from eraxvif5tts_tpu.parallel.mesh import _process_count, global_batch_from_local
+    from eraxvif5tts_tpu.training.dataset import TRAIN_FRAME_BUCKETS, TRAIN_TEXT_BUCKETS
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    # global assembly only when the MESH actually spans processes (injected
+    # pi/pc exercise the striding logic single-process in tests)
+    mesh_procs = _process_count(mesh)
+    if fixed_rows is None:
+        fixed_rows = max((len(b) for b in sampler), default=1)
+    top_frames = (TRAIN_FRAME_BUCKETS[-1],)
+    top_text = (TRAIN_TEXT_BUCKETS[-1],)
+
+    sampler.set_epoch(epoch)
+    # trim the tail so every process sees the SAME number of batches per epoch
+    # (a ragged final round would deadlock the gradient collective)
+    usable = (len(sampler) // pc) * pc
+    for i, batch_indices in enumerate(sampler):
+        if i >= usable or i % pc != pi:
+            continue
+        if executor is not None:
+            samples = list(executor.map(dataset.__getitem__, batch_indices))
+        else:
+            samples = [dataset[i_] for i_ in batch_indices]
+        if any(s.mel is None for s in samples):
+            raise RuntimeError(
+                f"multi-host batch {i} has unreadable rows — processes must "
+                "consume identical batch counts, so a silent skip would "
+                "desynchronize the collective"
+            )
+        local = collate(samples, vocab_char_map, tokenize=tokenize,
+                        phoneme_map=phoneme_map, frame_buckets=top_frames,
+                        text_buckets=top_text, pad_batch_to=fixed_rows)
+        yield global_batch_from_local(mesh, local) if mesh_procs > 1 else local
+
+
 def batch_iterator(dataset: CustomDataset, sampler: DynamicBatchSampler,
                    vocab_char_map: dict, tokenize=None, epochs: int = 1,
                    phoneme_map: Optional[dict] = None):
@@ -162,7 +217,8 @@ def _run_training(trainer: Trainer, cfg: TrainConfig, dataset, sampler,
             print(f"[cli] resuming at epoch {start_epoch}, batch {skip_batches}, "
                   f"update {int(state.step)}")
 
-    trainer.set_steps_per_epoch(max(len(sampler), 1))
+    n_proc = jax.process_count()
+    trainer.set_steps_per_epoch(max(len(sampler) // n_proc, 1))
 
     def log_fn(step, metrics):
         print(f"update {step}: " + " ".join(f"{k}={v:.4f}" for k, v in metrics.items()))
@@ -206,9 +262,14 @@ def _run_training(trainer: Trainer, cfg: TrainConfig, dataset, sampler,
                                       thread_name_prefix="sample-fetch")
 
     def make_epoch_iter(e):
-        gen = epoch_batches(dataset, sampler, vocab_char_map, e,
-                            tokenize=tokenize, phoneme_map=phoneme_map,
-                            executor=executor)
+        if n_proc > 1:
+            gen = multihost_epoch_batches(
+                dataset, sampler, vocab_char_map, e, trainer.mesh,
+                tokenize=tokenize, phoneme_map=phoneme_map, executor=executor)
+        else:
+            gen = epoch_batches(dataset, sampler, vocab_char_map, e,
+                                tokenize=tokenize, phoneme_map=phoneme_map,
+                                executor=executor)
         return prefetch_batches(gen) if num_workers else gen
 
     state = trainer.train(
@@ -242,7 +303,14 @@ def train_main(argv=None):
     p.add_argument("--resume", default=None, help="checkpoint dir/path to resume")
     p.add_argument("--seed", type=int, default=666)  # reference `train.py:86`
     p.add_argument("--n-model", type=int, default=1, help="tensor-parallel size")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod training: jax.distributed.initialize() "
+                        "(coordinator from the standard JAX env / TPU metadata), "
+                        "per-process batch striding, P('data') global batches")
     args = p.parse_args(argv)
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     cfg = load_yaml_config(args.config)
     tokenizer_path = cfg.model.tokenizer_path or cfg.datasets.name
@@ -300,7 +368,12 @@ def finetune_main(argv=None):
     p.add_argument("--checkpoint_dir", default=None)
     p.add_argument("--resume", default=None, help="checkpoint dir/path to resume")
     p.add_argument("--seed", type=int, default=666)
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host pod training (see train --multihost)")
     args = p.parse_args(argv)
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     # pruned-student presets (reference `finetune_cli.py:222-249`)
     exp = args.exp_name

@@ -166,3 +166,55 @@ def test_global_batch_from_local():
     state = trainer.init_state(jax.random.key(0))
     state, metrics = trainer.train_step(state, g, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_multihost_epoch_batches_striding_and_fixed_shapes():
+    """multihost_epoch_batches: disjoint per-process batch striding, equal batch
+    counts per process (ragged tail trimmed), FIXED static shapes across
+    processes (top buckets + padded rows) so global assembly's local arrays
+    agree host-to-host."""
+    from eraxvif5tts_tpu.training.cli import multihost_epoch_batches
+    from eraxvif5tts_tpu.training.dataset import (
+        DynamicBatchSampler,
+        Sample,
+        TRAIN_FRAME_BUCKETS,
+        TRAIN_TEXT_BUCKETS,
+    )
+
+    class TinyDataset:
+        def __init__(self, n):
+            rng = np.random.default_rng(0)
+            self.rows = [
+                Sample(text="sample %d" % i, duration_frames=16 + i,
+                       mel=rng.standard_normal((16 + i, 8)).astype(np.float32))
+                for i in range(n)
+            ]
+
+        def __len__(self):
+            return len(self.rows)
+
+        def __getitem__(self, i):
+            return self.rows[i]
+
+        def frame_length(self, i):
+            return self.rows[i].mel.shape[0]
+
+    ds = TinyDataset(10)
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz0123456789")}
+    mesh = make_mesh(n_model=1)
+
+    def batches_for(pi, pc):
+        sampler = DynamicBatchSampler([ds.frame_length(i) for i in range(10)],
+                                      64, max_samples=2, random_seed=0)
+        return list(multihost_epoch_batches(
+            ds, sampler, vocab, 0, mesh,
+            process_index=pi, process_count=pc))
+
+    b0 = batches_for(0, 2)
+    b1 = batches_for(1, 2)
+    assert len(b0) == len(b1) > 0  # equal counts, ragged tail trimmed
+    for x, y in zip(b0, b1):
+        assert x["mel"].shape == y["mel"].shape  # fixed static shapes
+        assert x["mel"].shape[1] == TRAIN_FRAME_BUCKETS[-1]
+        assert x["text"].shape[1] == TRAIN_TEXT_BUCKETS[-1]
+        assert not np.array_equal(np.asarray(x["lens"]), np.asarray(y["lens"]))
