@@ -476,6 +476,55 @@ class F5TTSWrapper:
 
     # ------------------------------------------------------------------
 
+    def warmup(self, ref: Optional[ReferenceState] = None,
+               nfe_step: Optional[int] = None,
+               buckets: Optional[tuple[int, ...]] = None,
+               text_buckets: Optional[tuple[int, ...]] = None) -> list[tuple[int, int]]:
+        """Pre-compile serving executables so no user request pays a cold
+        compile (each (duration bucket, text bucket, steps, vocode_start)
+        tuple is its own XLA program; remote compiles through the tunnel run
+        1–10 min uncached — set JAX_COMPILATION_CACHE_DIR to persist them).
+
+        Warms every reachable duration bucket × the text bucket a typical
+        chunk for this reference hits (pass ``text_buckets`` to widen).
+        Returns the warmed (duration_bucket, text_bucket) pairs. The socket
+        server warms its single first-package path like the reference
+        (`socket_server.py:121-135`); this is the ladder-wide version behind
+        the HTTP server's --warmup flag.
+        """
+        ref = ref or self.ref
+        if ref is None:
+            raise RuntimeError("call preprocess_reference() first or pass ref=")
+        if text_buckets is None:
+            # the bucket that ref.text + a typical max_chars chunk lands in
+            typical = len(ref.text.encode("utf-8")) * 2 + 32
+            text_buckets = (pick_bucket(min(typical, self.text_buckets[-1]),
+                                        self.text_buckets),)
+        nfe = nfe_step if nfe_step is not None else self.nfe_step
+        vstart = max(ref.n_frames - VOCODE_MARGIN_FRAMES, 0)
+        rms_scale = ref.rms / self.target_rms if 0 < ref.rms < self.target_rms else 1.0
+        warmed = []
+        for bucket in buckets or self.duration_buckets:
+            if bucket <= ref.n_frames + 8:
+                continue  # unreachable: prompt alone (nearly) fills the bucket
+            for tb in text_buckets:
+                text_ids = np.full((1, tb), -1, np.int32)
+                text_ids[0, 0] = 0
+                pcm, _ = self._dispatch_sample_vocode(
+                    self.params, self.vocoder_params, ref.mel,
+                    jnp.asarray(text_ids), jnp.asarray([bucket]),
+                    jnp.asarray([ref.n_frames]), jax.random.key(0),
+                    jnp.asarray(rms_scale, jnp.float32),
+                    steps=nfe, cfg_strength=float(self.cfg_strength),
+                    sway=(float(self.sway_sampling_coef)
+                          if self.sway_sampling_coef is not None else None),
+                    max_duration=bucket, vocode_start=vstart,
+                    gen_start=ref.n_frames - vstart,
+                )
+                np.asarray(pcm[:1, :1])  # block until compiled + run
+                warmed.append((bucket, tb))
+        return warmed
+
     def _duration_for(self, ref: ReferenceState, gen_text: str, speed: float,
                       fix_duration: Optional[float]) -> int:
         if fix_duration is not None:

@@ -63,6 +63,7 @@ class ServerConfig:
     request_read_timeout: float = 30.0  # seconds to receive head+body
     generation_timeout: float = 300.0  # per text-chunk synthesis budget
     max_concurrent_generations: int = 4  # device-work admission control
+    warmup: bool = False  # pre-compile the duration-bucket ladder at startup
 
 
 class TTSServer:
@@ -84,6 +85,14 @@ class TTSServer:
                 self.wrapper.preprocess_reference, path, text
             )
             self.references[ref_id] = state
+        if self.config.warmup and self.references:
+            # compile the whole serving bucket ladder before accepting traffic
+            # (cold XLA compiles run minutes on a remote-compile link; the
+            # reference's socket server warms one path, `socket_server.py:121-135`)
+            ref = next(iter(self.references.values()))
+            warmed = await asyncio.to_thread(self.wrapper.warmup, ref,
+                                             self.config.nfe_step)
+            print(f"warmup: compiled {len(warmed)} bucket programs: {warmed}")
 
     # ------------------------------------------------------------------
     # HTTP plumbing
@@ -393,6 +402,8 @@ def main():
     ap.add_argument("--ref-audio", default=None)
     ap.add_argument("--ref-text", default="")
     ap.add_argument("--smoke", action="store_true", help="tiny random model (demo/CI)")
+    ap.add_argument("--warmup", action="store_true",
+                    help="pre-compile the duration-bucket ladder before serving")
     args = ap.parse_args()
 
     if args.smoke:
@@ -408,7 +419,8 @@ def main():
             model_name=args.model, ckpt_path=args.ckpt, vocab_file=args.vocab,
             vocoder_ckpt_path=args.vocoder_ckpt,
         )
-    config = ServerConfig(host=args.host, port=args.port, model_name=args.model)
+    config = ServerConfig(host=args.host, port=args.port, model_name=args.model,
+                          warmup=args.warmup)
     server = TTSServer(wrapper, config)
 
     async def run():

@@ -277,3 +277,17 @@ def test_wrapper_bigvgan_vocoder_end_to_end():
     assert np.isfinite(wave).all()
     with pytest.raises(ValueError, match="vocoder_name"):
         F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, vocoder_name="hifigan")
+
+
+def test_wrapper_warmup_compiles_bucket_ladder(tiny_wrapper):
+    """warmup() pre-compiles every reachable (duration, text) bucket program and
+    a subsequent generate() reuses them (no cold compile on the request path)."""
+    w = tiny_wrapper
+    ref = w.preprocess_reference(ref_audio=_make_ref_audio(), ref_sample_rate=SR,
+                                 ref_text="hello there")
+    warmed = w.warmup(ref, nfe_step=2)
+    assert [b for b, _ in warmed] == [64, 128]
+    assert all(tb in w.text_buckets for _, tb in warmed)
+    wave = w.generate("after warmup.", ref=ref, nfe_step=2, seed=0,
+                      return_numpy=True, use_pinyin=False)
+    assert len(wave) > 0 and np.isfinite(wave).all()
