@@ -495,6 +495,16 @@ class F5TTSWrapper:
         ref = ref or self.ref
         if ref is None:
             raise RuntimeError("call preprocess_reference() first or pass ref=")
+        # Warm the HOST text frontend and the eager PRNG path too: generate()
+        # runs convert_char_to_pinyin (jieba's first call loads/builds its
+        # ~9 MB marshaled dictionary — measured ~1.2 s warm-cache / ~10 s on a
+        # cold page cache on a 1-core host) and jax.random.fold_in (first
+        # eager dispatch compiles a tiny executable, ~0.5 s through a remote-
+        # compile tunnel). Without this the first user request pays ~2-12 s
+        # of host cold-start that no XLA warmup covers.
+        convert_char_to_pinyin([ref.text + " warmup."])
+        np.asarray(
+            jax.random.key_data(jax.random.fold_in(jax.random.key(0), 0))[:1])
         if text_buckets is None:
             # the bucket that ref.text + a typical max_chars chunk lands in
             typical = len(ref.text.encode("utf-8")) * 2 + 32
