@@ -38,7 +38,7 @@ def main():
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (the axon sitecustomize ignores "
                         "JAX_PLATFORMS env)")
-    p.add_argument("--remat-policy", default="full", choices=["full", "dots"],
+    p.add_argument("--remat-policy", default="full", choices=["full", "dots", "attn"],
                    help="remat selectivity under activation checkpointing "
                         "('dots' saves GEMM outputs, skipping their backward "
                         "recompute at the cost of HBM)")

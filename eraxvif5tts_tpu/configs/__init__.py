@@ -44,10 +44,12 @@ class ArchConfig:
     # remat selectivity when checkpoint_activations is on: "full" recomputes
     # everything in the backward (min HBM); "dots" saves matmul outputs
     # (jax.checkpoint_policies.dots_with_no_batch_dims_saveable) so the
-    # backward skips re-running the block GEMMs — trades ~0.5 GB/layer of HBM
-    # at the 9x4096-frame batch for ~19% of the recompute FLOPs; for chips
-    # with more HBM than one v5e
-    remat_policy: str = "full"  # "full" | "dots"
+    # backward skips re-running the block GEMMs — measured on v5e it OOMs at
+    # the 9x4096-frame reference batch but is +5.4% at 6x4096 (the multi-chip
+    # DP regime, where the per-chip batch shrinks); "attn" saves only the
+    # attention outputs (~75 MB/layer at 9x4096) so the backward skips the
+    # flash-attention recompute while still fitting the reference batch
+    remat_policy: str = "full"  # "full" | "dots" | "attn"
     dropout: float = 0.1
     # int8 W8A8 serving for the block matmuls (opt-in, TPU-first extension:
     # params must be pre-quantized via ops/quant.quantize_params)

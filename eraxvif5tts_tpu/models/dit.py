@@ -147,11 +147,26 @@ class DiT(nn.Module):
                     DiTBlock, static_argnums=(5,),
                     policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                 )
+            elif a.remat_policy == "attn":
+                # middle ground measured on v5e: "dots" OOMs at the 9x4096
+                # reference batch (needs +3.5 GB over HBM) while "full"
+                # re-runs the whole block forward — including the flash
+                # attention kernel, the most expensive single op to recompute.
+                # Saving ONLY the attention outputs costs b*n*dim*2B per layer
+                # (~75 MB at 9x4096x1024, ~1.6 GB over 22 layers) and skips
+                # the attention recompute in the backward.
+                import jax
+
+                block_cls = nn.remat(
+                    DiTBlock, static_argnums=(5,),
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "dit_attn_out"),
+                )
             elif a.remat_policy == "full":
                 block_cls = nn.remat(DiTBlock, static_argnums=(5,))
             else:
                 raise ValueError(
-                    f"unknown remat_policy {a.remat_policy!r} (full|dots)")
+                    f"unknown remat_policy {a.remat_policy!r} (full|dots|attn)")
         else:
             block_cls = DiTBlock
         self.blocks = [

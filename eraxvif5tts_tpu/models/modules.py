@@ -18,6 +18,7 @@ from typing import Any, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from eraxvif5tts_tpu.ops.attention import (
     chunked_dot_product_attention,
@@ -465,6 +466,9 @@ class DiTBlock(nn.Module):
             self.dim, dtype=self.dtype, name="attn_norm"
         )(x, t)
         attn_out = attn(norm, mask=mask, rope=rope, deterministic=deterministic)
+        # identity outside jax.checkpoint; under remat_policy="attn" this names
+        # the tensor the save_only_these_names policy keeps (models/dit.py)
+        attn_out = checkpoint_name(attn_out, "dit_attn_out")
         x = x + gate_msa[:, None] * attn_out
 
         if fused:

@@ -254,7 +254,7 @@ def test_cfm_sample_batch_invariance():
 
 
 def test_remat_policies_preserve_gradients():
-    """checkpoint_activations with remat_policy full/dots must give the SAME
+    """checkpoint_activations with remat_policy full/dots/attn must give the SAME
     loss and gradients as the unrematerialized model (remat only changes what
     the backward recomputes vs saves)."""
     import dataclasses
@@ -284,7 +284,7 @@ def test_remat_policies_preserve_gradients():
     base_arch = ArchConfig(dim=64, depth=2, heads=2, dim_head=32, ff_mult=2,
                            text_dim=32, conv_layers=1, dropout=0.0)
     l0, g0 = grads_for(base_arch)
-    for policy in ("full", "dots"):
+    for policy in ("full", "dots", "attn"):
         arch = dataclasses.replace(base_arch, checkpoint_activations=True,
                                    remat_policy=policy)
         l1, g1 = grads_for(arch)
