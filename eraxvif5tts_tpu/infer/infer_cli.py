@@ -133,6 +133,17 @@ def run(config: dict, wrapper: F5TTSWrapper | None = None) -> str:
 
         jax.config.update("jax_platforms", "cpu")
 
+    if wrapper is not None:
+        # Constructor-only knobs cannot retroactively reconfigure a pre-built
+        # wrapper — reject loudly instead of silently ignoring them.
+        constructor_only = ("model_cfg", "ckpt_file", "vocab_file",
+                            "vocoder_ckpt", "vocoder_name", "target_rms")
+        ignored = [k for k in constructor_only if config.get(k) is not None]
+        if ignored:
+            raise ValueError(
+                f"flags {ignored} configure the wrapper at construction and "
+                "cannot apply to a pre-built wrapper instance — drop them or "
+                "let run() build the wrapper itself")
     if wrapper is None:
         wrapper_kwargs = {}
         if config.get("model_cfg"):
@@ -158,10 +169,12 @@ def run(config: dict, wrapper: F5TTSWrapper | None = None) -> str:
             resolve_example_path(voice["ref_audio"]), voice.get("ref_text", "")
         )
 
+    # target_rms is constructor-only (it scales the reference prompt at
+    # preprocess time via the wrapper) — not a per-call sampling knob.
     sample_kwargs = {
         k: config[k]
         for k in ("nfe_step", "cfg_strength", "sway_sampling_coef", "speed",
-                  "fix_duration", "cross_fade_duration", "target_rms", "seed")
+                  "fix_duration", "cross_fade_duration", "seed")
         if k in config
     }
 

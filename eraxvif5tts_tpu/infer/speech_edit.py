@@ -149,6 +149,10 @@ def main(argv=None):
                            vocab_file=args.vocab_file,
                            vocoder_ckpt_path=args.vocoder_ckpt)
     wave, sr = read_wav(args.audio)
+    # read_wav returns [channels, t]; downmix BEFORE any reshape — a stereo
+    # clip fed straight to edit_speech's reshape(-1) would concatenate both
+    # channels and silently double the timeline under the span math
+    wave = wave.mean(axis=0)
     if sr != wrapper.target_sample_rate:
         wave = resample(wave, sr, wrapper.target_sample_rate)
     fixes = ([float(x) for x in args.fix_durations.split(",")]

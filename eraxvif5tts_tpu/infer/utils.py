@@ -60,6 +60,14 @@ def byte_ratio_duration(
     ratio scaled by speed; or a fixed total duration in seconds."""
     if fix_duration is not None:
         return int(fix_duration * sample_rate / hop_length)
-    ref_bytes = max(1, len(ref_text.encode("utf-8")))
+    ref_bytes = len(ref_text.encode("utf-8"))
+    if ref_bytes == 0:
+        # frames-per-byte is undefined without reference text; proceeding
+        # silently yields garbage durations (the wrapper auto-transcribes or
+        # errors before this point — direct callers get the same loud error)
+        raise ValueError(
+            "byte-ratio duration needs non-empty ref_text (pass fix_duration "
+            "or a duration predictor, or let preprocess_reference transcribe "
+            "the reference clip)")
     gen_bytes = len(gen_text.encode("utf-8"))
     return ref_frames + int(ref_frames / ref_bytes * gen_bytes / speed)

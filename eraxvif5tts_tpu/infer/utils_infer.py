@@ -65,6 +65,43 @@ def transcribe(ref_audio: str, language: Optional[str] = None) -> str:
     )["text"].strip()
 
 
+def transcribe_array_cached(wav: np.ndarray, sr: int,
+                            transcribe_fn=None) -> str:
+    """md5-cached transcription of an in-memory waveform.
+
+    The array-level twin of the cache in :func:`preprocess_ref_audio_text`
+    (reference `utils_infer.py:330-346`): the same reference clip is
+    transcribed once per process. ``transcribe_fn(path) -> str`` may be
+    injected (tests, alternative ASR backends); the default is the Whisper
+    pipeline of :func:`transcribe`. Raises a loud, actionable error when no
+    ASR backend can run — callers must never proceed with empty ref text.
+    """
+    wav = np.asarray(wav, dtype=np.float32)
+    key = hashlib.md5(wav.tobytes() + str(sr).encode()).hexdigest()
+    if key in _ref_audio_cache:
+        return _ref_audio_cache[key]
+    if transcribe_fn is None:
+        transcribe_fn = transcribe
+    with tempfile.NamedTemporaryFile(delete=False, suffix=".wav") as f:
+        write_wav(f.name, wav, sr)
+        path = f.name
+    try:
+        text = transcribe_fn(path).strip()
+    except Exception as e:  # noqa: BLE001 — any backend failure is actionable
+        raise RuntimeError(
+            "reference text was empty and automatic transcription failed "
+            f"({type(e).__name__}: {e}) — pass ref_text explicitly, or make "
+            "the Whisper ASR backend available (transformers + "
+            "openai/whisper-large-v3-turbo weights; zero-egress hosts must "
+            "provide a local model via initialize_asr_pipeline)") from e
+    if not text:
+        raise RuntimeError(
+            "automatic transcription of the reference clip returned empty "
+            "text — pass ref_text explicitly")
+    _ref_audio_cache[key] = text
+    return text
+
+
 def load_vocoder(vocoder_name: str = "vocos", is_local: bool = False,
                  local_path: str = "", **_):
     """Build a native decoder — Vocos (default) or BigVGAN — with weights from a

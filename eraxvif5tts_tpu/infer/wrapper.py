@@ -432,11 +432,18 @@ class F5TTSWrapper:
         clip_short: bool = True,
         ref_audio: Optional[np.ndarray] = None,
         ref_sample_rate: Optional[int] = None,
+        transcribe_fn=None,
     ) -> ReferenceState:
         """Load + clip + normalize the reference prompt, compute its mel on device.
 
         Parity: reference `f5tts_wrapper.py:256-354` (12 s clipping cascade, edge
         trimming, RMS normalization, resampling, trailing-punctuation fixup).
+        Empty ``ref_text`` auto-transcribes the clip like the reference wrapper
+        (`f5tts_wrapper.py:313-315`), through the md5-keyed cache of
+        ``utils_infer.transcribe_array_cached`` — and raises a loud error when
+        no ASR backend is available, because the byte-ratio duration and
+        ``max_chars`` formulas degrade on zero reference bytes.
+        ``transcribe_fn(path) -> str`` overrides the default Whisper backend.
         """
         if ref_audio is None:
             if ref_audio_path is None:
@@ -455,6 +462,11 @@ class F5TTSWrapper:
         if sr != self.target_sample_rate:
             wav = resample(wav, sr, self.target_sample_rate)
 
+        if not ref_text.strip():
+            from eraxvif5tts_tpu.infer.utils_infer import transcribe_array_cached
+
+            ref_text = transcribe_array_cached(
+                wav, self.target_sample_rate, transcribe_fn=transcribe_fn)
         if ref_text and not ref_text.endswith(". ") and not ref_text.endswith("。"):
             ref_text = ref_text + " " if ref_text.endswith(".") else ref_text + ". "
 
@@ -506,17 +518,30 @@ class F5TTSWrapper:
         np.asarray(
             jax.random.key_data(jax.random.fold_in(jax.random.key(0), 0))[:1])
         if text_buckets is None:
-            # the bucket that ref.text + a typical max_chars chunk lands in
-            typical = len(ref.text.encode("utf-8")) * 2 + 32
-            text_buckets = (pick_bucket(min(typical, self.text_buckets[-1]),
-                                        self.text_buckets),)
+            # the range of buckets generate() can actually pick, derived the
+            # same way it tokenizes — pinyin tokens of ref.text + chunk — from
+            # the shortest chunk up to a full max_chars chunk (a byte-count
+            # heuristic undershot this and left the first real request a cold
+            # compile despite --warmup)
+            max_chars, _ = self._max_chars_for(ref)
+            lo = pick_bucket(len(convert_char_to_pinyin([ref.text])[0]) + 2,
+                             self.text_buckets)
+            hi = pick_bucket(
+                len(convert_char_to_pinyin([ref.text + "x" * max_chars])[0]),
+                self.text_buckets)
+            text_buckets = tuple(tb for tb in self.text_buckets
+                                 if lo <= tb <= hi)
         nfe = nfe_step if nfe_step is not None else self.nfe_step
         vstart = max(ref.n_frames - VOCODE_MARGIN_FRAMES, 0)
         rms_scale = ref.rms / self.target_rms if 0 < ref.rms < self.target_rms else 1.0
         warmed = []
+        # exact reachability: generate() picks pick_bucket(duration) with
+        # duration >= ref.n_frames + 1, so every bucket from
+        # pick_bucket(ref.n_frames + 1) up is reachable
+        min_bucket = pick_bucket(ref.n_frames + 1, self.duration_buckets)
         for bucket in buckets or self.duration_buckets:
-            if bucket <= ref.n_frames + 8:
-                continue  # unreachable: prompt alone (nearly) fills the bucket
+            if bucket < min_bucket:
+                continue  # unreachable: prompt alone overfills the bucket
             for tb in text_buckets:
                 text_ids = np.full((1, tb), -1, np.int32)
                 text_ids[0, 0] = 0
@@ -534,6 +559,20 @@ class F5TTSWrapper:
                 np.asarray(pcm[:1, :1])  # block until compiled + run
                 warmed.append((bucket, tb))
         return warmed
+
+    def _max_chars_for(self, ref: ReferenceState) -> tuple[int, int]:
+        """Chunking rule (`f5tts_wrapper.py:459-461`): (max_chars, hard cap).
+
+        Capped so ref-text tokens + chunk tokens always fit the largest text
+        bucket (each sample tokenizes ref.text + chunk; UTF-8 bytes bound the
+        pinyin token count) — an unbreakable over-budget token is hard-split
+        by chunk_text rather than erroring at list_str_to_idx.
+        """
+        ref_sec = max(ref.audio_seconds, 1e-3)
+        ref_bytes = len(ref.text.encode("utf-8"))
+        max_chars = int(ref_bytes / ref_sec * max(22.0 - ref_sec, 1.0))
+        bucket_budget = max(self.text_buckets[-1] - ref_bytes - 2, 16)
+        return min(max(max_chars, 16), bucket_budget), bucket_budget
 
     def _duration_for(self, ref: ReferenceState, gen_text: str, speed: float,
                       fix_duration: Optional[float]) -> int:
@@ -582,17 +621,7 @@ class F5TTSWrapper:
         speed = speed if speed is not None else self.speed
         sway = sway_sampling_coef if sway_sampling_coef is not None else self.sway_sampling_coef
 
-        # chunking rule (`f5tts_wrapper.py:459-461`)
-        ref_sec = max(ref.audio_seconds, 1e-3)
-        max_chars = int(
-            len(ref.text.encode("utf-8")) / ref_sec * max(22.0 - ref_sec, 1.0)
-        )
-        # capped so ref-text tokens + chunk tokens always fit the largest text
-        # bucket (each sample tokenizes ref.text + chunk; UTF-8 bytes bound the
-        # pinyin token count) — an unbreakable over-budget token is hard-split
-        # by chunk_text rather than erroring at list_str_to_idx
-        bucket_budget = max(self.text_buckets[-1] - len(ref.text.encode("utf-8")) - 2, 16)
-        max_chars = min(max(max_chars, 16), bucket_budget)
+        max_chars, bucket_budget = self._max_chars_for(ref)
         chunks = chunk_text(text, max_chars=max_chars, hard_max=bucket_budget)
 
         key = jax.random.key(seed if seed is not None else _random.randrange(2**31))

@@ -176,6 +176,7 @@ class CFM:
         edit_mask: Optional[jnp.ndarray] = None,
         no_ref_audio: bool = False,
         t_start: float = 0.0,
+        t_inter_cond: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Integrate noise -> mel. Returns ``[b, max_duration, d]``; frames beyond each
         sample's ``duration`` are zero, the prompt region is pasted back from ``cond``.
@@ -206,8 +207,21 @@ class CFM:
         y0 = jnp.broadcast_to(noise[None], (b, max_duration, d))
         y0 = jnp.where(frame_mask[..., None], y0, 0.0)
 
-        # t_start > 0 is the reference's duplicate_test/t_inter observation
-        # corner (`cfm.py:188-195`): integrate from an intermediate time.
+        # t_start > 0 is the reference's duplicate_test/t_inter corner
+        # (`cfm.py:188-195`): the ODE starts at an intermediate time from a
+        # blended state y0 = (1-t_start)*noise + t_start*t_inter_cond. The
+        # reference also rescales steps = int(steps*(1-t_start)) — steps is a
+        # static arg here, so callers pass the rescaled count themselves.
+        # Without ``t_inter_cond`` the grid still shifts but integration
+        # starts from pure noise (a different computation than the reference
+        # corner — only the full (t_start, t_inter_cond) pair is parity).
+        if t_start > 0.0 and t_inter_cond is not None:
+            inter = t_inter_cond.astype(y0.dtype)
+            if inter.shape[1] < max_duration:
+                inter = jnp.pad(
+                    inter, ((0, 0), (0, max_duration - inter.shape[1]), (0, 0)))
+            y0 = (1.0 - t_start) * y0 + t_start * inter
+            y0 = jnp.where(frame_mask[..., None], y0, 0.0)
         t_grid = sway_time_grid(steps, sway_sampling_coef, t_start)
 
         # Text embeddings once, outside the Euler loop.

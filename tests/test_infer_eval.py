@@ -489,6 +489,14 @@ def test_infer_cli_rejects_cuda_device():
              "output_dir": "/tmp", "output_file": "x.wav", "ref_audio": "x.wav"})
 
 
+def test_infer_cli_rejects_constructor_flags_with_prebuilt_wrapper(wrapper):
+    """Constructor-only knobs (target_rms, vocoder_name, ...) cannot apply to a
+    pre-built wrapper — loud error instead of the old silent ignore."""
+    with pytest.raises(ValueError, match="target_rms"):
+        run({"gen_text": "hi.", "target_rms": 0.12, "output_dir": "/tmp",
+             "output_file": "x.wav", "ref_audio": "x.wav"}, wrapper=wrapper)
+
+
 def test_api_rejects_unsupported_knobs():
     from eraxvif5tts_tpu.infer.api import F5TTS
 

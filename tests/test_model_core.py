@@ -341,3 +341,14 @@ def test_cfm_sample_no_ref_audio_and_t_start():
                                    steps=2, max_duration=32, t_start=0.1))
     assert np.isfinite(tinter).all()
     assert np.abs(tinter[0, 10:20] - base[0, 10:20]).max() > 1e-6
+
+    # full duplicate_test parity (`cfm.py:188-195`): y0 blends toward the
+    # caller-supplied intermediate state when t_inter_cond is passed
+    inter_state = jax.random.normal(jax.random.key(11), (1, 32, 8))
+    blended = np.asarray(cfm.sample(params, cond, text, duration, lens, key,
+                                    steps=2, max_duration=32, t_start=0.4,
+                                    t_inter_cond=inter_state))
+    assert np.isfinite(blended).all()
+    plain = np.asarray(cfm.sample(params, cond, text, duration, lens, key,
+                                  steps=2, max_duration=32, t_start=0.4))
+    assert np.abs(blended[0, 10:20] - plain[0, 10:20]).max() > 1e-6

@@ -286,8 +286,79 @@ def test_wrapper_warmup_compiles_bucket_ladder(tiny_wrapper):
     ref = w.preprocess_reference(ref_audio=_make_ref_audio(), ref_sample_rate=SR,
                                  ref_text="hello there")
     warmed = w.warmup(ref, nfe_step=2)
-    assert [b for b, _ in warmed] == [64, 128]
+    assert {b for b, _ in warmed} == {64, 128}
     assert all(tb in w.text_buckets for _, tb in warmed)
+    # the warmed text-bucket range covers what generate() actually picks for
+    # a short chunk AND a max_chars-sized chunk (derived via the pinyin token
+    # count, not the old byte heuristic)
+    from eraxvif5tts_tpu.text.pinyin import convert_char_to_pinyin
+
+    max_chars, _ = w._max_chars_for(ref)
+    warmed_tb = {tb for _, tb in warmed}
+    for chunk in ("after warmup.", "x" * max_chars):
+        expect = pick_bucket(len(convert_char_to_pinyin([ref.text + chunk])[0]),
+                             w.text_buckets)
+        assert expect in warmed_tb
     wave = w.generate("after warmup.", ref=ref, nfe_step=2, seed=0,
                       return_numpy=True, use_pinyin=False)
     assert len(wave) > 0 and np.isfinite(wave).all()
+
+
+def test_warmup_skips_only_unreachable_buckets():
+    """A long reference makes small buckets unreachable exactly below
+    pick_bucket(ref_frames + 1) — the old `+ 8` slop could skip a bucket
+    generate() still picks."""
+    cfg = ModelConfig(
+        name="tiny",
+        arch=ArchConfig(dim=64, depth=1, heads=2, dim_head=32, ff_mult=2,
+                        text_dim=32, conv_layers=1, dropout=0.0),
+        mel_spec=MelSpecConfig(),
+    )
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!?")}
+    w = F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, nfe_step=2,
+                     duration_buckets=(64, 128), text_buckets=(64,))
+    t = np.arange(int(SR * 0.60)) / SR  # ~60 frames incl. pad: 64 still reachable
+    ref = w.preprocess_reference(
+        ref_audio=(0.2 * np.sin(2 * np.pi * 180 * t)).astype(np.float32),
+        ref_sample_rate=SR, ref_text="hello there", clip_short=False)
+    assert ref.n_frames + 1 <= 64 < ref.n_frames + 8  # the old rule's blind spot
+    warmed = w.warmup(ref, nfe_step=2, text_buckets=(64,))
+    assert {b for b, _ in warmed} == {64, 128}
+
+
+def test_preprocess_reference_auto_transcribes_empty_ref_text(tiny_wrapper):
+    """Empty ref_text routes through the cached transcribe path (reference
+    `f5tts_wrapper.py:313-315`) — injected fake backend, md5 cache hit."""
+    calls = []
+
+    def fake_asr(path):
+        calls.append(path)
+        return "transcribed words"
+
+    w = tiny_wrapper
+    audio = _make_ref_audio()
+    ref = w.preprocess_reference(ref_audio=audio, ref_sample_rate=SR,
+                                 ref_text="", transcribe_fn=fake_asr)
+    assert ref.text == "transcribed words. "
+    assert len(calls) == 1
+    # same clip again: served from the md5 cache, no second ASR call
+    ref2 = w.preprocess_reference(ref_audio=audio, ref_sample_rate=SR,
+                                  ref_text="  ", transcribe_fn=fake_asr)
+    assert ref2.text == "transcribed words. " and len(calls) == 1
+
+
+def test_preprocess_reference_empty_ref_text_no_backend_raises(tiny_wrapper):
+    """No ASR backend -> loud, actionable error instead of silently serving
+    zero reference bytes."""
+    def broken_asr(path):
+        raise ImportError("no whisper weights on this host")
+
+    with pytest.raises(RuntimeError, match="pass ref_text explicitly"):
+        tiny_wrapper.preprocess_reference(
+            ref_audio=_make_ref_audio() * 0.7, ref_sample_rate=SR,
+            ref_text="", transcribe_fn=broken_asr)
+
+
+def test_byte_ratio_duration_rejects_empty_ref_text():
+    with pytest.raises(ValueError, match="non-empty ref_text"):
+        byte_ratio_duration(100, "", "some generated text", 1.0)
