@@ -48,8 +48,13 @@ class ArchConfig:
     # the 9x4096-frame reference batch but is +5.4% at 6x4096 (the multi-chip
     # DP regime, where the per-chip batch shrinks); "attn" saves only the
     # attention outputs (~75 MB/layer at 9x4096) so the backward skips the
-    # flash-attention recompute while still fitting the reference batch
-    remat_policy: str = "full"  # "full" | "dots" | "attn"
+    # flash-attention recompute while still fitting the reference batch.
+    # "auto" (default) picks by per-chip frame budget at trainer build time
+    # (resolve_remat_policy): "dots" when the per-chip batch is at or below
+    # the measured-safe 6x4096 frames (multi-chip DP regime), "full" at the
+    # single-chip max batch; model builders treat an unresolved "auto" as
+    # "full".
+    remat_policy: str = "auto"  # "auto" | "full" | "dots" | "attn"
     dropout: float = 0.1
     # int8 W8A8 serving for the block matmuls (opt-in, TPU-first extension:
     # params must be pre-quantized via ops/quant.quantize_params)
@@ -108,6 +113,31 @@ class TrainConfig:
     optim: OptimConfig = field(default_factory=OptimConfig)
     datasets: DatasetConfig = field(default_factory=DatasetConfig)
     ckpts: CkptConfig = field(default_factory=CkptConfig)
+
+
+# Per-chip frame budget at or below which "dots" remat fits v5e HBM with a
+# measured +5.4% step speedup (BASELINE.md remat A/B: dots OOMs at 9x4096 =
+# 36,864 frames, runs at 6x4096 = 24,576; the boundary between them was not
+# bisected, so the safe measured point is the threshold).
+REMAT_DOTS_MAX_FRAMES = 6 * 4096
+
+
+def resolve_remat_policy(policy: str, per_chip_frames: int | None) -> str:
+    """Resolve ``remat_policy="auto"`` from the per-chip frame budget.
+
+    ``full`` (recompute everything) is the right default at the single-chip
+    max batch; ``dots`` (save GEMM outputs) wins whenever the per-chip batch
+    is small enough to afford the saved activations — in particular multi-chip
+    DP, where the global batch divides across the data axis. Explicit policies
+    pass through unchanged.
+    """
+    if policy != "auto":
+        if policy not in ("full", "dots", "attn"):
+            raise ValueError(f"unknown remat_policy {policy!r} (auto|full|dots|attn)")
+        return policy
+    if per_chip_frames is not None and per_chip_frames <= REMAT_DOTS_MAX_FRAMES:
+        return "dots"
+    return "full"
 
 
 # ---------------------------------------------------------------------------

@@ -162,11 +162,16 @@ class DiT(nn.Module):
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "dit_attn_out"),
                 )
-            elif a.remat_policy == "full":
+            elif a.remat_policy in ("full", "auto"):
+                # "auto" is resolved from the per-chip frame budget by
+                # configs.resolve_remat_policy at trainer build time; an
+                # unresolved "auto" reaching a model builder means a direct
+                # construction (tests, serving) — take the conservative
+                # max-batch default.
                 block_cls = nn.remat(DiTBlock, static_argnums=(5,))
             else:
                 raise ValueError(
-                    f"unknown remat_policy {a.remat_policy!r} (full|dots|attn)")
+                    f"unknown remat_policy {a.remat_policy!r} (auto|full|dots|attn)")
         else:
             block_cls = DiTBlock
         self.blocks = [

@@ -282,7 +282,8 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True,
-                 fused_adaln: Optional[tuple] = None) -> jnp.ndarray:
+                 fused_adaln: Optional[tuple] = None,
+                 fused_norm: str = "ln") -> jnp.ndarray:
         inner = int(self.dim * self.mult)
         dense = _dense(self.quantized)
         if fused_adaln is not None:
@@ -301,7 +302,8 @@ class FeedForward(nn.Module):
             h = ln_mod_matmul(x.astype(self.dtype), ln_scale.astype(self.dtype),
                               ln_shift.astype(self.dtype),
                               w_in.astype(self.dtype), b_in.astype(self.dtype),
-                              activation="gelu_tanh")
+                              activation="gelu_tanh", norm=fused_norm,
+                              eps=1e-12 if fused_norm == "rms" else 1e-6)
             return h @ w_out.astype(self.dtype) + b_out.astype(self.dtype)
         x = dense(inner, dtype=self.dtype, name="project_in")(x)
         x = nn.gelu(x, approximate=True)

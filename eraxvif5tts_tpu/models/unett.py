@@ -26,8 +26,12 @@ class XRMSNorm(nn.Module):
     dim: int
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, scale_only: bool = False) -> jnp.ndarray:
         g = self.param("g", nn.initializers.ones, (self.dim,))
+        if scale_only:
+            # fused serving path: the caller folds g into the
+            # ln_mod_matmul(norm="rms") modulation vector
+            return g
         norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=-1, keepdims=True))
         normed = x / jnp.maximum(norm, 1e-12).astype(x.dtype)
         return normed * (self.dim ** 0.5) * g
@@ -56,12 +60,24 @@ class UNetT(nn.Module):
         self.input_embed = InputEmbedding(a.dim, dtype=self.compute_dtype, name="input_embed")
 
         half = a.depth // 2
+        if a.quantized:
+            from eraxvif5tts_tpu.ops.quant import QuantDense
+
+            def skip_dense(idx):
+                # int8 W8A8 like the block projections: the 12 concat
+                # projections are [2048, 1024] GEMMs, ~19% of E2TTS's
+                # per-pass FLOPs (reference count_params_gflops.py:20-21)
+                return QuantDense(a.dim, dtype=self.compute_dtype,
+                                  use_bias=False, name=f"skip_proj_{idx}")
+        else:
+            def skip_dense(idx):
+                return nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype,
+                                name=f"skip_proj_{idx}")
         layers = []
         for idx in range(a.depth):
             is_later_half = idx >= half
             layers.append((
-                nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype,
-                         name=f"skip_proj_{idx}")
+                skip_dense(idx)
                 if (self.skip_connect_type == "concat" and is_later_half) else None,
                 XRMSNorm(a.dim, name=f"attn_norm_{idx}"),
                 Attention(dim=a.dim, heads=a.heads, dim_head=a.dim_head,
@@ -107,6 +123,19 @@ class UNetT(nn.Module):
 
         rope = rotary_freqs(seq_len + 1, self.arch.dim_head)
 
+        from eraxvif5tts_tpu.ops.fused_matmul import dit_block_fusion_ok
+
+        a = self.arch
+        # serving fusion (same ablation-backed choice as DiTBlock): fold the
+        # pre-FF RMSNorm + GELU into the project_in matmul. bf16-only — the
+        # int8 path keeps QuantDense projections.
+        fused = (
+            deterministic
+            and not a.quantized
+            and dit_block_fusion_ok(h.shape[1], a.dim, a.heads * a.dim_head,
+                                    int(a.dim * a.ff_mult), self.compute_dtype)
+        )
+
         half = self.arch.depth // 2
         skips = []
         for idx, (skip_proj, attn_norm, attn, ff_norm, ff) in enumerate(self.layers):
@@ -119,7 +148,15 @@ class UNetT(nn.Module):
                 elif self.skip_connect_type == "add":
                     h = h + skip
             h = attn(attn_norm(h), mask=mask, rope=rope, deterministic=deterministic) + h
-            h = ff(ff_norm(h), deterministic=deterministic) + h
+            if fused:
+                g = ff_norm(h, scale_only=True).astype(jnp.float32)
+                mod_scale = jnp.broadcast_to(g[None, :] - 1.0,
+                                             (h.shape[0], a.dim))
+                h = ff(h, deterministic=True,
+                       fused_adaln=(mod_scale, jnp.zeros_like(mod_scale)),
+                       fused_norm="rms") + h
+            else:
+                h = ff(ff_norm(h), deterministic=deterministic) + h
 
         h = self.norm_out(h)[:, 1:, :]  # unpack time token
         return self.proj_out(h).astype(jnp.float32)

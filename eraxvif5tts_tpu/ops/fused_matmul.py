@@ -66,14 +66,20 @@ def _gelu_tanh(x):
 
 
 def _ln_mod_kernel(x_ref, scale_ref, shift_ref, w_ref, b_ref, o_ref,
-                   normed_ref, *, activation: Optional[str], eps: float):
+                   normed_ref, *, activation: Optional[str], eps: float,
+                   norm: str):
     nj = pl.program_id(1)
 
     @pl.when(nj == 0)
     def _compute_ln():
         x = x_ref[0].astype(jnp.float32)  # [M, K]
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        centered = x - mean
+        if norm == "rms":
+            # x_transformers RMSNorm (UNetT): no mean subtraction; the
+            # sqrt(d)*g factor folds into `scale` at the call site
+            centered = x
+        else:
+            mean = jnp.mean(x, axis=-1, keepdims=True)
+            centered = x - mean
         var = jnp.mean(centered * centered, axis=-1, keepdims=True)
         rstd = jax.lax.rsqrt(var + eps)
         scale = scale_ref[0].astype(jnp.float32)  # [1, K]
@@ -150,7 +156,7 @@ def dit_block_fusion_ok(n: int, dim: int, inner: int, ff_inner: int,
     return use_fused_serving(n, dim, ff_inner, dtype)
 
 
-def _ln_mod_reference(x, scale, shift, w, bias, activation, eps):
+def _ln_mod_reference(x, scale, shift, w, bias, activation, eps, norm="ln"):
     """jnp surrogate with the kernel's semantics (fp32 LN statistics, matmul in
     x.dtype with fp32 accumulation) — the differentiation path behind
     :func:`ln_mod_matmul`'s custom_jvp. The pallas kernel has no JVP rule;
@@ -158,8 +164,11 @@ def _ln_mod_reference(x, scale, shift, w, bias, activation, eps):
     callers trace differentiation through the fused serving branch, where this
     graph is either DCE'd (zero tangents) or supplies a correct tangent."""
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    centered = xf - mean
+    if norm == "rms":
+        centered = xf
+    else:
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        centered = xf - mean
     var = jnp.mean(centered * centered, axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
     normed = (centered * (rstd * (1.0 + scale[:, None, :].astype(jnp.float32)))
@@ -172,8 +181,9 @@ def _ln_mod_reference(x, scale, shift, w, bias, activation, eps):
     return acc.astype(x.dtype)
 
 
-@functools.partial(jax.custom_jvp, nondiff_argnums=(5, 6, 7))
-def _ln_mod_matmul(x, scale, shift, w, bias, activation, eps, interpret):
+@functools.partial(jax.custom_jvp, nondiff_argnums=(5, 6, 7, 8))
+def _ln_mod_matmul(x, scale, shift, w, bias, activation, eps, interpret,
+                   norm="ln"):
     bsz, m, k = x.shape
     n = w.shape[1]
     bn = _pick_bn(n, m, k, x.dtype.itemsize)
@@ -182,7 +192,8 @@ def _ln_mod_matmul(x, scale, shift, w, bias, activation, eps, interpret):
             f"ln_mod_matmul: no VMEM-feasible output block for shape "
             f"[{bsz},{m},{k}]x[{k},{n}] — gate callers with use_fused_serving()")
     grid = (bsz, n // bn)
-    kernel = functools.partial(_ln_mod_kernel, activation=activation, eps=eps)
+    kernel = functools.partial(_ln_mod_kernel, activation=activation, eps=eps,
+                               norm=norm)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -204,31 +215,39 @@ def _ln_mod_matmul(x, scale, shift, w, bias, activation, eps, interpret):
 
 
 @_ln_mod_matmul.defjvp
-def _ln_mod_matmul_jvp(activation, eps, interpret, primals, tangents):
-    out = _ln_mod_matmul(*primals, activation, eps, interpret)
+def _ln_mod_matmul_jvp(activation, eps, interpret, norm, primals, tangents):
+    out = _ln_mod_matmul(*primals, activation, eps, interpret, norm)
     zero = jax.custom_derivatives.SymbolicZero
     tans = tuple(jnp.zeros_like(p) if isinstance(t, zero) else t.astype(p.dtype)
                  for p, t in zip(primals, tangents))
     _, tangent = jax.jvp(
-        lambda *p: _ln_mod_reference(*p, activation, eps), tuple(primals), tans)
+        lambda *p: _ln_mod_reference(*p, activation, eps, norm), tuple(primals),
+        tans)
     return out, tangent
 
 
-@functools.partial(jax.jit, static_argnames=("activation", "eps", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("activation", "eps", "interpret", "norm"))
 def ln_mod_matmul(x: jnp.ndarray, scale: jnp.ndarray, shift: jnp.ndarray,
                   w: jnp.ndarray, bias: jnp.ndarray,
                   activation: Optional[str] = None, eps: float = 1e-6,
-                  interpret: Optional[bool] = None) -> jnp.ndarray:
-    """``act((LN(x) * (1 + scale) + shift) @ w + bias)`` per batch row.
+                  interpret: Optional[bool] = None,
+                  norm: str = "ln") -> jnp.ndarray:
+    """``act((norm(x) * (1 + scale) + shift) @ w + bias)`` per batch row.
 
     x ``[B, M, K]``; scale/shift ``[B, K]`` (AdaLN modulation vectors); w
-    ``[K, N]``; bias ``[N]``. LN is scale/bias-free layernorm over K with fp32
-    statistics. Returns ``[B, M, N]`` in x.dtype. Differentiable via a
-    reference-implementation custom_jvp (same pattern as serving_attention).
+    ``[K, N]``; bias ``[N]``. ``norm="ln"`` is scale/bias-free layernorm over K
+    with fp32 statistics; ``norm="rms"`` skips the mean subtraction
+    (x_transformers RMSNorm as used by UNetT — fold the ``sqrt(d)*g`` factor
+    into ``scale`` as ``g*sqrt(d)/sqrt(d) - 1 = g - 1`` since rsqrt(mean(x^2))
+    already carries the 1/sqrt(d)). Returns ``[B, M, N]`` in x.dtype.
+    Differentiable via a reference-implementation custom_jvp (same pattern as
+    serving_attention).
     """
     if interpret is None:
         interpret = not _on_tpu()
-    return _ln_mod_matmul(x, scale, shift, w, bias, activation, eps, interpret)
+    return _ln_mod_matmul(x, scale, shift, w, bias, activation, eps, interpret,
+                          norm)
 
 
 @functools.partial(jax.jit, static_argnames=("mask_rows", "interpret"))

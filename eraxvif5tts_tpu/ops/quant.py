@@ -60,6 +60,7 @@ class QuantDense(nn.Module):
 
     features: int
     dtype: object = jnp.bfloat16
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -69,8 +70,10 @@ class QuantDense(nn.Module):
             (d_in, self.features),
         )
         scale = self.param("kernel_scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
         y = int8_matmul(x, w_q, scale, out_dtype=self.dtype)
+        if not self.use_bias:
+            return y
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return y + bias.astype(self.dtype)
 
 
@@ -78,18 +81,30 @@ _QUANT_SUFFIXES = (
     "to_q", "to_k", "to_v", "to_out", "project_in", "project_out",
     # MMDiT joint-attention text-stream projections
     "to_q_c", "to_k_c", "to_v_c", "to_out_c",
+    # UNetT long-skip concat projections (skip_proj_12..23 — 12 x [2048,1024]
+    # GEMMs, ~19% of E2TTS's per-pass FLOPs)
+    "skip_proj",
 )
+
+
+def _name_matches(name: str, suffixes: tuple[str, ...]) -> bool:
+    if name in suffixes:
+        return True
+    # indexed layers: "skip_proj_13" matches the "skip_proj" suffix
+    stem, _, idx = name.rpartition("_")
+    return bool(stem) and idx.isdigit() and stem in suffixes
 
 
 def quantize_params(params, suffixes: tuple[str, ...] = _QUANT_SUFFIXES):
     """Transform an fp param tree for a `quantized=True` backbone: every Dense
-    subtree named in ``suffixes`` has its ``kernel`` replaced by
-    ``kernel_q``/``kernel_scale`` (what :class:`QuantDense` reads). Pure; run
-    once at load — inline per-call quantization is NOT hoisted out of the Euler
-    scan by XLA (measured: 30 us vs 13.7 us per GEMM)."""
+    subtree named in ``suffixes`` (exact, or ``name_<idx>`` for indexed layers)
+    has its ``kernel`` replaced by ``kernel_q``/``kernel_scale`` (what
+    :class:`QuantDense` reads). Pure; run once at load — inline per-call
+    quantization is NOT hoisted out of the Euler scan by XLA (measured: 30 us
+    vs 13.7 us per GEMM)."""
     def walk(tree, name):
         if isinstance(tree, dict):
-            if name in suffixes and "kernel" in tree:
+            if _name_matches(name, suffixes) and "kernel" in tree:
                 w_q, scale = quantize_weight(jnp.asarray(tree["kernel"]))
                 out = {k: v for k, v in tree.items() if k != "kernel"}
                 out["kernel_q"] = w_q

@@ -25,7 +25,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from eraxvif5tts_tpu.configs import PRESETS, TrainConfig, load_yaml_config
+from eraxvif5tts_tpu.configs import (
+    PRESETS,
+    TrainConfig,
+    load_yaml_config,
+    resolve_remat_policy,
+)
 from eraxvif5tts_tpu.models import CFM, build_backbone
 from eraxvif5tts_tpu.parallel.mesh import make_mesh
 from eraxvif5tts_tpu.text.tokenizer import get_tokenizer
@@ -79,6 +84,19 @@ def build_trainer(cfg: TrainConfig, vocab_size: int, total_updates: int,
             "'bfloat16' (measured v5e recipe) or 'float32'"
         )
     import jax.numpy as _jnp
+
+    if cfg.model.arch.remat_policy == "auto" and cfg.model.arch.checkpoint_activations:
+        # frame-budget batching: batch_size_per_gpu IS the per-chip frame
+        # count; sample batching has no frame bound, so stay conservative
+        per_chip = (cfg.datasets.batch_size_per_gpu
+                    if cfg.datasets.batch_size_type == "frame" else None)
+        policy = resolve_remat_policy("auto", per_chip)
+        print(f"[trainer] remat_policy auto -> {policy!r} "
+              f"(per-chip frame budget {per_chip})")
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, arch=dataclasses.replace(
+                    cfg.model.arch, remat_policy=policy)))
 
     transformer = build_backbone(
         cfg.model, text_num_embeds=vocab_size,

@@ -46,7 +46,13 @@ import numpy as np
 import optax
 
 from eraxvif5tts_tpu.models.cfm import CFM
-from eraxvif5tts_tpu.parallel.mesh import batch_sharding, make_mesh, replicated, shard_params
+from eraxvif5tts_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    replicated,
+    shard_params,
+)
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -295,11 +301,53 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
+    def _opt_state_shardings(self, params: Any) -> Any:
+        """Shardings for the optimizer state: every param-shaped subtree (AdamW
+        mu/nu, MultiSteps acc_grads) mirrors the params' TP layout; counts and
+        other scalars are replicated.
+
+        ``jax.jit(self._opt.init)(params)`` does NOT do this by itself: the
+        init only uses the params' shapes (zeros_like), so XLA dead-code-
+        eliminates the sharded operands and the outputs land wherever the
+        default device is — on a ``model>1`` mesh that is a single device
+        holding 2x-params of fp32 moments plus a reshard on the first step.
+        Param-shaped leaves are recognized by their trailing dict path (the
+        param address inside the state tree) plus a shape match.
+        """
+        import jax.tree_util as jtu
+
+        pshard = {
+            jtu.keystr(path): (s, tuple(leaf.shape))
+            for (path, leaf), s in zip(
+                jtu.tree_leaves_with_path(params),
+                jax.tree.leaves(param_shardings(self.mesh, params)),
+            )
+        }
+        rep = replicated(self.mesh)
+
+        def pick(path, leaf):
+            keys = []
+            for k in reversed(path):
+                if isinstance(k, jtu.DictKey):
+                    keys.append(k)
+                else:
+                    break
+            if keys:
+                hit = pshard.get(jtu.keystr(tuple(reversed(keys))))
+                if hit is not None and hit[1] == tuple(leaf.shape):
+                    return hit[0]
+            return rep
+
+        shapes = jax.eval_shape(self._opt.init, params)
+        return jtu.tree_map_with_path(pick, shapes)
+
     def init_state(self, rng: jax.Array, params: Any | None = None,
                    dur_pred_params: Any | None = None) -> TrainState:
         params = params if params is not None else self.cfm.init_params(rng)
         params = shard_params(self.mesh, params)
-        opt_state = jax.jit(self._opt.init)(params)
+        opt_state = jax.jit(
+            self._opt.init, out_shardings=self._opt_state_shardings(params)
+        )(params)
         dur_params = dur_align = dur_opt = None
         if self.duration_predictor is not None:
             if dur_pred_params is None:
@@ -807,10 +855,16 @@ class Trainer:
                 "dur_align_params": jax.device_put(restored.dur_align_params, rep),
                 "dur_opt_state": jax.device_put(restored.dur_opt_state, rep),
             }
+        params = shard_params(self.mesh, restored.params)
+        # The AdamW moments must come back with the SAME shardings init_state
+        # gives them. Restoring them replicated on a model>1 mesh costs a
+        # transient 2x-params HBM spike per device and a hidden reshard on the
+        # first donated step.
+        opt_shardings = self._opt_state_shardings(params)
         return TrainState(
             step=jnp.asarray(restored.step),
-            params=shard_params(self.mesh, restored.params),
-            opt_state=jax.device_put(restored.opt_state, rep),
+            params=params,
+            opt_state=jax.device_put(restored.opt_state, opt_shardings),
             ema_params=shard_params(self.mesh, restored.ema_params),
             **kwargs,
         )

@@ -32,3 +32,42 @@ def test_yaml_loads_and_matches_preset(path):
     for field in ("dim", "depth", "heads", "ff_mult", "text_dim",
                   "text_mask_padding", "conv_layers", "pe_attn_head"):
         assert getattr(mc.arch, field) == getattr(preset.arch, field), (name, field)
+
+
+def test_resolve_remat_policy_auto_selection():
+    """'auto' picks the remat policy by per-chip frame budget (BASELINE.md
+    remat A/B: 'dots' +5.4% at 6x4096 but OOMs at 9x4096 on v5e)."""
+    from eraxvif5tts_tpu.configs import REMAT_DOTS_MAX_FRAMES, resolve_remat_policy
+
+    assert resolve_remat_policy("auto", 9 * 4096) == "full"
+    assert resolve_remat_policy("auto", 6 * 4096) == "dots"
+    assert resolve_remat_policy("auto", REMAT_DOTS_MAX_FRAMES + 1) == "full"
+    assert resolve_remat_policy("auto", None) == "full"  # unknown budget
+    # explicit policies pass through
+    for p in ("full", "dots", "attn"):
+        assert resolve_remat_policy(p, 1) == p
+    with pytest.raises(ValueError):
+        resolve_remat_policy("bogus", 1)
+
+
+def test_build_trainer_resolves_auto_remat(capsys):
+    """build_trainer resolves 'auto' from batch_size_per_gpu and logs it."""
+    import dataclasses
+
+    from eraxvif5tts_tpu.configs import ArchConfig, TrainConfig
+    from eraxvif5tts_tpu.training.cli import build_trainer
+
+    base = TrainConfig()
+    small_arch = ArchConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2,
+                            text_dim=16, conv_layers=0,
+                            checkpoint_activations=True, remat_policy="auto")
+    for frames, want in ((6 * 4096, "dots"), (9 * 4096, "full")):
+        cfg = dataclasses.replace(
+            base,
+            model=dataclasses.replace(base.model, arch=small_arch),
+            datasets=dataclasses.replace(base.datasets,
+                                         batch_size_per_gpu=frames),
+        )
+        trainer = build_trainer(cfg, vocab_size=8, total_updates=10)
+        assert trainer.cfm.transformer.arch.remat_policy == want
+        assert f"-> {want!r}" in capsys.readouterr().out

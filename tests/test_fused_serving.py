@@ -162,3 +162,48 @@ def test_dit_block_fused_traces_under_grad(monkeypatch):
     got = jax.grad(loss, argnums=1)(params, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=5e-4, atol=5e-4)
+
+
+def test_ln_mod_matmul_rms_matches_xrmsnorm():
+    """norm="rms" + scale=g-1 reproduces UNetT's XRMSNorm -> dense exactly
+    (the serving fusion folds the pre-FF RMSNorm into project_in)."""
+    rng = np.random.default_rng(5)
+    b, m, k, n = 2, 16, 128, 256
+    x = jnp.asarray(rng.standard_normal((b, m, k)), jnp.float32)
+    g = jnp.asarray(1.0 + 0.1 * rng.standard_normal((k,)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((k, n)) / np.sqrt(k), jnp.float32)
+    bias = jnp.asarray(0.1 * rng.standard_normal((n,)), jnp.float32)
+
+    scale = jnp.broadcast_to(g[None, :] - 1.0, (b, k))
+    got = fm.ln_mod_matmul(x, scale, jnp.zeros_like(scale), w, bias,
+                           interpret=True, norm="rms", eps=1e-12)
+
+    # XRMSNorm reference (models/unett.py): normalize(x) * sqrt(d) * g
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    normed = x / jnp.maximum(norm, 1e-12) * (k ** 0.5) * g
+    want = normed @ w + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_unett_fused_ff_matches_unfused(monkeypatch):
+    """UNetT's fused pre-FF RMSNorm+GELU path is numerically the unfused one."""
+    from eraxvif5tts_tpu.configs import ArchConfig
+    from eraxvif5tts_tpu.models.unett import UNetT
+
+    arch = ArchConfig(dim=128, depth=2, heads=2, dim_head=64, ff_mult=2,
+                      text_dim=None, conv_layers=0, dropout=0.0)
+    model = UNetT(arch=arch, text_num_embeds=8, mel_dim=8)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((2, 15, 8)).astype(np.float32))
+    cond = 0.1 * jnp.asarray(rng.standard_normal((2, 15, 8)).astype(np.float32))
+    text = jnp.asarray([[1, 2, 3, -1], [2, -1, -1, -1]], jnp.int32)
+    t = jnp.asarray([0.3, 0.7])
+    params = jax.jit(model.init)(jax.random.key(0), x, cond, text, t)["params"]
+
+    unfused = np.asarray(model.apply({"params": params}, x, cond, text, t))
+    assert not fm.use_fused_serving(16, 128, 256, jnp.float32)
+    monkeypatch.setattr(fm, "_FORCE_FOR_TESTS", True)
+    assert fm.use_fused_serving(16, 128, 256, jnp.float32)  # seq 15 + time tok
+    fused = np.asarray(model.apply({"params": params}, x, cond, text, t))
+    np.testing.assert_allclose(fused, unfused, rtol=2e-4, atol=2e-4)
