@@ -118,10 +118,17 @@ def main():
         return run
 
     record("batched_auto", serving("batched", None, False))
-    for hb in (h, h // 2):
-        for bq_ in (n, n // 2, n // 4):
-            if bq_ % 128 == 0:
-                record(f"headloop_h{hb}_q{bq_}", serving("headloop", (hb, bq_), False))
+    # every 128-multiple q block that divides n, plus the one-shot bq=n (which
+    # needs no divisor) — at 64-only-aligned n (1088, 1152) the divisor set is
+    # sparse (e.g. 1152 -> 128/384), so the one-shot fat block competes with
+    # skinny divisors rather than with n/2
+    bq_cands = sorted({bq_ for bq_ in range(128, n + 1, 128) if n % bq_ == 0}
+                      | {n}, reverse=True)
+    for hb in (h, h // 2, h // 4):
+        if not hb:
+            continue
+        for bq_ in bq_cands:
+            record(f"headloop_h{hb}_q{bq_}", serving("headloop", (hb, bq_), False))
     best = min((kk_ for kk_ in results if kk_.startswith("headloop")),
                key=lambda kk_: results[kk_], default=None)
     if best:

@@ -60,24 +60,15 @@ class UNetT(nn.Module):
         self.input_embed = InputEmbedding(a.dim, dtype=self.compute_dtype, name="input_embed")
 
         half = a.depth // 2
-        if a.quantized:
-            from eraxvif5tts_tpu.ops.quant import QuantDense
-
-            def skip_dense(idx):
-                # int8 W8A8 like the block projections: the 12 concat
-                # projections are [2048, 1024] GEMMs, ~19% of E2TTS's
-                # per-pass FLOPs (reference count_params_gflops.py:20-21)
-                return QuantDense(a.dim, dtype=self.compute_dtype,
-                                  use_bias=False, name=f"skip_proj_{idx}")
-        else:
-            def skip_dense(idx):
-                return nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype,
-                                name=f"skip_proj_{idx}")
+        # skip projections stay bf16 even when a.quantized: int8 here measured
+        # NEGATIVE (19.2x -> 18.7x device E2TTS RTF, BASELINE.md) — activation
+        # quantization over the [.., 2048] concat costs more than the GEMM saves
         layers = []
         for idx in range(a.depth):
             is_later_half = idx >= half
             layers.append((
-                skip_dense(idx)
+                nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype,
+                         name=f"skip_proj_{idx}")
                 if (self.skip_connect_type == "concat" and is_later_half) else None,
                 XRMSNorm(a.dim, name=f"attn_norm_{idx}"),
                 Attention(dim=a.dim, heads=a.heads, dim_head=a.dim_head,

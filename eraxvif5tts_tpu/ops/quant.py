@@ -81,9 +81,12 @@ _QUANT_SUFFIXES = (
     "to_q", "to_k", "to_v", "to_out", "project_in", "project_out",
     # MMDiT joint-attention text-stream projections
     "to_q_c", "to_k_c", "to_v_c", "to_out_c",
-    # UNetT long-skip concat projections (skip_proj_12..23 — 12 x [2048,1024]
-    # GEMMs, ~19% of E2TTS's per-pass FLOPs)
-    "skip_proj",
+    # NOT "skip_proj" (UNetT long-skip concat projections, ~19% of E2TTS's
+    # per-pass FLOPs): quantizing them measured NEGATIVE on v5e — E2TTS int8
+    # device RTF 19.2x -> 18.7x (BASELINE.md) — the per-call activation
+    # quantization pass over the [.., 2048] concat costs more than the
+    # already-MXU-saturated [2048,1024] bf16 GEMM saves, and the int8 input
+    # breaks XLA's fusion of the concat into the GEMM.
 )
 
 

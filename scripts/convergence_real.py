@@ -74,6 +74,15 @@ def main():
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--out", default="benchmarks/artifacts/convergence_real.json")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--preset", default=None,
+                    help="train a full PRESETS arch (e.g. F5TTS_v1_Base) instead "
+                         "of the ad-hoc --dim/--depth model — used to produce "
+                         "structured trained weights for int8 gate calibration")
+    ap.add_argument("--export", default=None,
+                    help="after training, export the EMA weights to this "
+                         ".safetensors file in the reference torch key schema "
+                         "(ema_model.transformer.* via backbone_params_to_torch) "
+                         "so quant_quality.py --ckpt can calibrate on them")
     ap.add_argument("--synthesize", action="store_true",
                     help="after training, infill the first utterance from its "
                          "first half and Griffin-Lim the mel to a wav artifact")
@@ -106,12 +115,21 @@ def main():
     chars = sorted({c for r in rows for c in r["text"]})
     vocab = {c: i for i, c in enumerate(chars)}
 
-    cfg = ModelConfig(
-        arch=ArchConfig(dim=args.dim, depth=args.depth, heads=8,
-                        dim_head=args.dim // 8, ff_mult=2, text_dim=128,
-                        conv_layers=2, dropout=0.1),
-        mel_spec=mel_cfg,
-    )
+    if args.preset:
+        from eraxvif5tts_tpu.configs import PRESETS
+
+        cfg = PRESETS[args.preset]
+        # corpus mels above were computed with the default (vocos) frontend
+        assert cfg.mel_spec == mel_cfg, (
+            f"--preset {args.preset} uses a different mel frontend; corpus "
+            "mels were computed with the vocos defaults")
+    else:
+        cfg = ModelConfig(
+            arch=ArchConfig(dim=args.dim, depth=args.depth, heads=8,
+                            dim_head=args.dim // 8, ff_mult=2, text_dim=128,
+                            conv_layers=2, dropout=0.1),
+            mel_spec=mel_cfg,
+        )
     transformer = build_backbone(cfg, text_num_embeds=len(vocab))
     cfm = CFM.build(transformer, mel_cfg)
     optimizer = make_optimizer(learning_rate=args.lr, num_warmup_updates=20,
@@ -146,6 +164,26 @@ def main():
             print(json.dumps({"update": step, "loss": round(loss, 4)}), flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+
+    export_path = None
+    if args.export:
+        # Reference torch key schema (`ema_model.transformer.*`), so the int8
+        # gate can be calibrated on structured TRAINED weights instead of a
+        # noise-perturbed init: quant_quality.py --ckpt <this file>.
+        from safetensors.numpy import save_file
+
+        from eraxvif5tts_tpu.compression.convert import backbone_params_to_torch
+
+        sd = backbone_params_to_torch(
+            jax.tree.map(lambda x: np.asarray(x, np.float32), state.ema_params),
+            backbone=cfg.backbone, depth=cfg.arch.depth,
+            conv_layers=cfg.arch.conv_layers,
+            qk_norm=cfg.arch.qk_norm == "rms_norm",
+            long_skip=cfg.arch.long_skip_connection)
+        os.makedirs(os.path.dirname(args.export) or ".", exist_ok=True)
+        save_file({f"ema_model.{k}": v for k, v in sd.items()}, args.export)
+        export_path = args.export
+        print(json.dumps({"exported": export_path, "keys": len(sd)}), flush=True)
 
     wav_artifact = None
     if args.synthesize:
@@ -192,6 +230,7 @@ def main():
         "loss_last10_mean": round(last, 4),
         "loss_curve": [round(x, 5) for x in losses],
         "synthesized": wav_artifact,
+        "exported": export_path,
     }
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=1)
