@@ -126,7 +126,10 @@ def main():
     report["device_resident"] = (time.time() - t0) / args.steps
 
     # -- host batch ingestion alone ------------------------------------------
-    probe = jax.jit(lambda mel, text, lens: jnp.zeros(()))
+    # the probe must USE every operand: a constant-returning jit lets XLA drop
+    # the parameters and the dispatch transfers nothing
+    probe = jax.jit(lambda mel, text, lens:
+                    mel.ravel()[0] + text.ravel()[0] + lens[0])
     _ = float(probe(**batches[0]))
     t0 = time.time()
     for i in range(args.steps):
