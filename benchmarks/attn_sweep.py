@@ -133,8 +133,32 @@ def main():
                key=lambda kk_: results[kk_], default=None)
     if best:
         _, hb_s, bq_s = best.split("_")
-        record(best + "_rope",
-               serving("headloop", (int(hb_s[1:]), int(bq_s[1:])), True))
+        blocks_best = (int(hb_s[1:]), int(bq_s[1:]))
+        record(best + "_rope", serving("headloop", blocks_best, True))
+        # vectorized whole-block rotation before the head loop (+VMEM for two
+        # rotated block copies; may fail to compile at fat blocks)
+        record(best + "_rope_pre", serving("headloop_pre", blocks_best, True))
+        hb_half = blocks_best[0] // 2
+        if hb_half and h % hb_half == 0:
+            record(f"headloop_h{hb_half}_q{blocks_best[1]}_rope_pre",
+                   serving("headloop_pre", (hb_half, blocks_best[1]), True))
+
+        # rope OUTSIDE the kernel (XLA elementwise on [b,n,h,d]) + unroped
+        # kernel — the fused in-kernel rotary re-rotates K/V once per head-grid
+        # program, so at one-shot blocks with h/hb programs it can cost more
+        # than the dumb way
+        from eraxvif5tts_tpu.ops.rotary import apply_rotary
+
+        def rope_outside(q, k, v):
+            qr = apply_rotary(q.swapaxes(1, 2), rope).swapaxes(1, 2).astype(q.dtype)
+            kr = apply_rotary(k.swapaxes(1, 2), rope).swapaxes(1, 2).astype(k.dtype)
+            return serving_attention(qr, kr, v, lens_arg, rope=None,
+                                     variant="headloop", blocks=blocks_best)
+
+        record(best + "_rope_outside", rope_outside)
+        # rotary alone, to attribute the delta
+        record("rotary_alone", lambda q, k, v: apply_rotary(
+            q.swapaxes(1, 2), rope).swapaxes(1, 2).astype(q.dtype) + v * 0)
 
     print(json.dumps({k_: round(v_, 1) for k_, v_ in
                       sorted(results.items(), key=lambda kv_: kv_[1])}))

@@ -119,21 +119,37 @@ def _kernel(lens_ref, q_ref, k_ref, v_ref, *rest,
 
 
 def _headloop_kernel(lens_ref, q_ref, k_ref, v_ref, *rest,
-                     scale: float, masked: bool, roped: bool, hb: int):
+                     scale: float, masked: bool, roped: bool, hb: int,
+                     prerotate: bool = False):
     """Per-head 2-D matmuls (fat M = q block) under a static head unroll —
     avoids the batched-dim dot_general of :func:`_kernel`, which Mosaic lowers
     as hb skinny matmuls, and lets one head's VPU softmax overlap the next
-    head's MXU matmul."""
+    head's MXU matmul.
+
+    ``prerotate``: rotate the whole [hb, ., d] q/k blocks in one vectorized
+    pass before the head loop instead of per-head [., d] tiles inside it —
+    costs ~2 extra bf16 block copies of VMEM but utilizes the VPU on 8x
+    bigger shapes (candidate from the round-4 n=1088/1152 sweeps, where the
+    per-head fused rotary measured ~2x the standalone rotation cost)."""
     if roped:
         cosq_ref, sinq_ref, cosk_ref, sink_ref, o_ref = rest
     else:
         (o_ref,) = rest
     if masked:
         length = lens_ref[pl.program_id(0)]
+    if roped and prerotate:
+        q_all = _rotate(q_ref[0], cosq_ref[...][None],
+                        sinq_ref[...][None]).astype(q_ref.dtype)
+        k_all = _rotate(k_ref[0], cosk_ref[...][None],
+                        sink_ref[...][None]).astype(k_ref.dtype)
     for hi in range(hb):
-        qh = q_ref[0, hi]  # [bq, d]
-        kh = k_ref[0, hi]  # [n, d]
-        if roped:
+        if roped and prerotate:
+            qh = q_all[hi]  # [bq, d]
+            kh = k_all[hi]  # [n, d]
+        else:
+            qh = q_ref[0, hi]  # [bq, d]
+            kh = k_ref[0, hi]  # [n, d]
+        if roped and not prerotate:
             qh = _rotate(qh, cosq_ref[...], sinq_ref[...]).astype(q_ref.dtype)
             kh = _rotate(kh, cosk_ref[...], sink_ref[...]).astype(k_ref.dtype)
         s = jax.lax.dot_general(
@@ -347,7 +363,7 @@ def _serving_attention_impl(q, k, v, lens, rope, interpret, variant, blocks):
     b, n, h, d = q.shape
     if blocks is not None:
         hb, bq = blocks
-    elif variant == "headloop":
+    elif variant.startswith("headloop"):
         hb, bq = _headloop_blocks(n, h, d)
     else:
         hb, bq = _blocks(n, h)
@@ -363,9 +379,10 @@ def _serving_attention_impl(q, k, v, lens, rope, interpret, variant, blocks):
     qt, kt, vt = (t.swapaxes(1, 2) for t in (q, k, v))
 
     grid = (b, h // hb, n // bq)
-    if variant == "headloop":
+    if variant.startswith("headloop"):
         kernel = functools.partial(_headloop_kernel, scale=scale, masked=masked,
-                                   roped=roped, hb=hb)
+                                   roped=roped, hb=hb,
+                                   prerotate=variant == "headloop_pre")
     else:
         kernel = functools.partial(_kernel, scale=scale, masked=masked, roped=roped)
     in_specs = [

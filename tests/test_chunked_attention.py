@@ -135,10 +135,12 @@ def test_serving_attention_headloop_fused_rope():
     ref = attention_reference(qr, kr, v, key_valid=mask)
 
     for blocks in (None, (4, 128), (2, 256)):
-        out = serving_attention(q, k, v, lens, rope=rope, interpret=True,
-                                variant="headloop", blocks=blocks)
-        diff = np.abs(np.asarray(out - ref)) * np.asarray(mask)[:, :, None, None]
-        assert diff.max() < 1e-5, (blocks, diff.max())
+        for variant in ("headloop", "headloop_pre"):
+            out = serving_attention(q, k, v, lens, rope=rope, interpret=True,
+                                    variant=variant, blocks=blocks)
+            diff = (np.abs(np.asarray(out - ref))
+                    * np.asarray(mask)[:, :, None, None])
+            assert diff.max() < 1e-5, (variant, blocks, diff.max())
 
     # chooser: valid divisors and bounded VMEM (calibrated double-buffer model)
     # at every serving bucket
