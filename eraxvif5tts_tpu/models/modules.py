@@ -305,6 +305,20 @@ class FeedForward(nn.Module):
                               activation="gelu_tanh", norm=fused_norm,
                               eps=1e-12 if fused_norm == "rms" else 1e-6)
             return h @ w_out.astype(self.dtype) + b_out.astype(self.dtype)
+        out_dim = self.dim_out or self.dim
+        if self.quantized and deterministic and x.ndim == 3:
+            from eraxvif5tts_tpu.ops.quant import QuantDenseParams
+            from eraxvif5tts_tpu.ops.quant_ff import int8_ff_fused, use_int8_ff
+
+            if use_int8_ff(x.shape[1], x.shape[-1], inner, out_dim):
+                # one-kernel FF (OPT-IN via ERAX_INT8_FF=1; measured negative
+                # on v5e vs XLA's fused two-GEMM chain — see ops/quant_ff.py)
+                w1, s1, b1 = QuantDenseParams(x.shape[-1], inner,
+                                              name="project_in")()
+                w2, s2, b2 = QuantDenseParams(inner, out_dim,
+                                              name="project_out")()
+                return int8_ff_fused(x.astype(self.dtype), w1, s1, b1,
+                                     w2, s2, b2)
         x = dense(inner, dtype=self.dtype, name="project_in")(x)
         x = nn.gelu(x, approximate=True)
         if not deterministic and self.dropout > 0.0:
@@ -312,7 +326,7 @@ class FeedForward(nn.Module):
             # (75M elements/layer, regenerated under remat) costs seconds/step
             # on v5e (`ops/dropout.py`)
             x = hash_dropout(x, self.dropout, self.make_rng("dropout"))
-        return dense(self.dim_out or self.dim, dtype=self.dtype, name="project_out")(x)
+        return dense(out_dim, dtype=self.dtype, name="project_out")(x)
 
 
 class Attention(nn.Module):

@@ -77,6 +77,28 @@ class QuantDense(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class QuantDenseParams(nn.Module):
+    """Declares ``kernel_q``/``kernel_scale``/``bias`` with
+    :class:`QuantDense`'s exact param schema, for paths that feed the raw
+    quantized weights to a fused Pallas kernel (`ops/quant_ff.py`) instead of
+    calling the layer — sharing a scope name with a QuantDense used on another
+    statically-selected branch yields an identical checkpoint tree either
+    way (same pattern as ``models.modules.DenseParams``)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        w_q = self.param(
+            "kernel_q", lambda key, shape: jnp.zeros(shape, jnp.int8),
+            (self.in_features, self.features),
+        )
+        scale = self.param("kernel_scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return w_q, scale, bias
+
+
 _QUANT_SUFFIXES = (
     "to_q", "to_k", "to_v", "to_out", "project_in", "project_out",
     # MMDiT joint-attention text-stream projections

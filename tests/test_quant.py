@@ -188,3 +188,82 @@ def test_quant_divergence_gate_runs_for_unett():
                            steps=2, max_duration=256)
     assert rep["passes_gate"], rep
     assert np.isfinite(rep["lsd_db"]) and rep["forward_rel_mse"] < 5e-2
+
+
+def test_int8_ff_fused_matches_reference():
+    """The one-kernel FF (interpret mode) equals its jnp surrogate exactly."""
+    from eraxvif5tts_tpu.ops.quant_ff import int8_ff_fused, int8_ff_reference
+
+    rng = np.random.default_rng(7)
+    b, m, k, n, k2 = 2, 128, 256, 512, 256
+    x = jnp.asarray(rng.standard_normal((b, m, k)), jnp.float32)
+    w1, s1 = quantize_weight(jnp.asarray(rng.standard_normal((k, n)) * 0.05))
+    w2, s2 = quantize_weight(jnp.asarray(rng.standard_normal((n, k2)) * 0.05))
+    b1 = jnp.asarray(0.1 * rng.standard_normal((n,)), jnp.float32)
+    b2 = jnp.asarray(0.1 * rng.standard_normal((k2,)), jnp.float32)
+
+    got = int8_ff_fused(x, w1, s1, b1, w2, s2, b2, interpret=True)
+    want = int8_ff_reference(x, w1, s1, b1, w2, s2, b2, out_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_int8_ff_fused_close_to_two_quantdense():
+    """Same quantization grid as the QuantDense->gelu->QuantDense path; the
+    only divergence is the fp32 (vs bf16) hidden activation."""
+    import flax.linen as nn
+
+    from eraxvif5tts_tpu.ops.quant import QuantDense
+    from eraxvif5tts_tpu.ops.quant_ff import int8_ff_fused
+
+    rng = np.random.default_rng(8)
+    b, m, k, n = 2, 128, 256, 512
+    x = jnp.asarray(rng.standard_normal((b, m, k)), jnp.float32)
+    w1, s1 = quantize_weight(jnp.asarray(rng.standard_normal((k, n)) * 0.05))
+    w2, s2 = quantize_weight(jnp.asarray(rng.standard_normal((n, k)) * 0.05))
+    b1 = jnp.zeros((n,), jnp.float32)
+    b2 = jnp.zeros((k,), jnp.float32)
+
+    fused = np.asarray(
+        int8_ff_fused(x, w1, s1, b1, w2, s2, b2, interpret=True), np.float32)
+
+    d1 = QuantDense(n, dtype=jnp.float32)
+    h = d1.apply({"params": {"kernel_q": w1, "kernel_scale": s1,
+                             "bias": b1}}, x)
+    h = nn.gelu(h, approximate=True)
+    d2 = QuantDense(k, dtype=jnp.float32)
+    unfused = np.asarray(d2.apply({"params": {"kernel_q": w2,
+                                              "kernel_scale": s2,
+                                              "bias": b2}}, h))
+    denom = np.abs(unfused).max()
+    assert np.abs(fused - unfused).max() / denom < 0.02
+
+
+def test_feedforward_int8_fused_path_matches_unfused(monkeypatch):
+    """FeedForward(quantized=True) routes through int8_ff_fused when the gate
+    admits the shape; the checkpoint tree and outputs match the QuantDense
+    branch."""
+    from eraxvif5tts_tpu.models.modules import FeedForward
+    from eraxvif5tts_tpu.ops import fused_matmul as fm
+    from eraxvif5tts_tpu.ops import quant_ff
+
+    ff = FeedForward(dim=128, mult=2, dropout=0.0, dtype=jnp.float32,
+                     quantized=True)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((2, 64, 128)), jnp.float32)
+    params = jax.jit(ff.init)(jax.random.key(0), x)["params"]
+    # structured weights so the comparison is non-trivial
+    params = jax.tree.map(
+        lambda p: (jnp.asarray(
+            rng.integers(-127, 128, p.shape), jnp.int8) if p.dtype == jnp.int8
+            else jnp.asarray(0.01 + 0.01 * rng.standard_normal(p.shape),
+                             p.dtype)),
+        params)
+
+    assert not quant_ff.use_int8_ff(64, 128, 256, 128)  # CPU: gate off
+    unfused = np.asarray(ff.apply({"params": params}, x))
+    monkeypatch.setattr(fm, "_FORCE_FOR_TESTS", True)
+    assert quant_ff.use_int8_ff(64, 128, 256, 128)
+    fused = np.asarray(ff.apply({"params": params}, x))
+    denom = max(np.abs(unfused).max(), 1e-6)
+    assert np.abs(fused - unfused).max() / denom < 0.02
