@@ -86,6 +86,10 @@ class OptimConfig:
     grad_accumulation_steps: int = 1
     max_grad_norm: float = 1.0
     bnb_optimizer: bool = False  # accepted for config parity; TPU build always uses optax
+    # store the AdamW first moment in bf16 (TPU-first extension): saves one
+    # half-params-worth of HBM per chip — the multi-chip headroom knob next to
+    # remat_policy="dots"; nu stays fp32
+    mu_dtype: Optional[str] = None  # None (fp32) | "bfloat16"
 
 
 @dataclass(frozen=True)

@@ -104,11 +104,16 @@ def build_trainer(cfg: TrainConfig, vocab_size: int, total_updates: int,
         else _jnp.float32,
     )
     cfm = CFM.build(transformer, cfg.model.mel_spec)
+    if cfg.optim.mu_dtype not in (None, "float32", "bfloat16"):
+        raise ValueError(
+            f"optim.mu_dtype must be null|float32|bfloat16, got "
+            f"{cfg.optim.mu_dtype!r}")
     optimizer = make_optimizer(
         learning_rate=cfg.optim.learning_rate,
         num_warmup_updates=cfg.optim.num_warmup_updates,
         total_updates=total_updates,
         max_grad_norm=cfg.optim.max_grad_norm,
+        mu_dtype=_jnp.bfloat16 if cfg.optim.mu_dtype == "bfloat16" else None,
     )
     return Trainer(
         cfm=cfm,

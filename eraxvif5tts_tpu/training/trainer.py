@@ -74,12 +74,17 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.98,
     decay_type: str = "linear",
+    mu_dtype: Any = None,
 ) -> optax.GradientTransformation:
     """Warmup -> decay AdamW, global-norm clipped.
 
     ``decay_type='linear'`` is the main trainer's SequentialLR(warmup, linear)
     (reference `trainer.py:1184-1188`); ``'cosine'`` is the distillation recipe's
     CosineAnnealingLR with eta_min ~ 0 (reference `distil_reload.py:892-897`).
+    ``mu_dtype=jnp.bfloat16`` stores the AdamW first moment in bf16 — saves
+    one params-worth of fp32 HBM per two chips-worth of moments (0.67 GB for
+    the flagship), the multi-chip headroom knob next to ``remat_policy="dots"``;
+    the second moment stays fp32 (its dynamic range is the sensitive one).
     """
     decay_steps = max(total_updates - num_warmup_updates, 1)
     if decay_type == "linear":
@@ -94,7 +99,7 @@ def make_optimizer(
     )
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.adamw(schedule, b1=b1, b2=b2),
+        optax.adamw(schedule, b1=b1, b2=b2, mu_dtype=mu_dtype),
     )
 
 

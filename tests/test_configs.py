@@ -71,3 +71,44 @@ def test_build_trainer_resolves_auto_remat(capsys):
         trainer = build_trainer(cfg, vocab_size=8, total_updates=10)
         assert trainer.cfm.transformer.arch.remat_policy == want
         assert f"-> {want!r}" in capsys.readouterr().out
+
+
+def test_mu_dtype_bfloat16_moments():
+    """optim.mu_dtype="bfloat16" stores the AdamW first moment in bf16 (the
+    multi-chip HBM headroom knob); invalid values are loudly rejected."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eraxvif5tts_tpu.configs import ArchConfig, TrainConfig
+    from eraxvif5tts_tpu.training.cli import build_trainer
+
+    base = TrainConfig()
+    small_arch = ArchConfig(dim=32, depth=1, heads=2, dim_head=16, ff_mult=2,
+                            text_dim=16, conv_layers=0, dropout=0.0)
+    cfg = dataclasses.replace(
+        base,
+        model=dataclasses.replace(base.model, arch=small_arch),
+        optim=dataclasses.replace(base.optim, mu_dtype="bfloat16"),
+    )
+    trainer = build_trainer(cfg, vocab_size=8, total_updates=10)
+    state = trainer.init_state(jax.random.key(0))
+    mu_dtypes = {x.dtype for x in jax.tree.leaves(state.opt_state[1][0].mu)}
+    assert mu_dtypes == {jnp.dtype(jnp.bfloat16)}, mu_dtypes
+    nu_dtypes = {x.dtype for x in jax.tree.leaves(state.opt_state[1][0].nu)}
+    assert jnp.dtype(jnp.float32) in nu_dtypes
+
+    batch = {
+        "mel": np.random.default_rng(0).standard_normal((2, 64, 100)).astype(np.float32),
+        "text": np.asarray([[1, 2, 3], [2, 3, -1]], np.int32),
+        "lens": np.asarray([64, 48], np.int32),
+    }
+    state, metrics = trainer.train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    bad = dataclasses.replace(cfg, optim=dataclasses.replace(cfg.optim,
+                                                             mu_dtype="fp8"))
+    with pytest.raises(ValueError, match="mu_dtype"):
+        build_trainer(bad, vocab_size=8, total_updates=10)
