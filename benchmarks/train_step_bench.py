@@ -42,6 +42,9 @@ def main():
                    help="remat selectivity under activation checkpointing "
                         "('dots' saves GEMM outputs, skipping their backward "
                         "recompute at the cost of HBM)")
+    p.add_argument("--mu-dtype", default=None, choices=[None, "bfloat16"],
+                   help="store the AdamW first moment in bf16 (the "
+                        "optim.mu_dtype config knob) — A/B its step-time cost")
     args = p.parse_args()
 
     import jax
@@ -72,7 +75,9 @@ def main():
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     cfm = CFM(transformer=DiT(arch=arch, text_num_embeds=vocab, mel_dim=mel_dim,
                               compute_dtype=dtype))
-    trainer = Trainer(cfm=cfm, optimizer=make_optimizer(total_updates=1000))
+    trainer = Trainer(cfm=cfm, optimizer=make_optimizer(
+        total_updates=1000,
+        mu_dtype=jnp.bfloat16 if args.mu_dtype == "bfloat16" else None))
     state = trainer.init_state(jax.random.key(0))
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
     print(f"params: {n_params/1e6:.1f}M  batch: {args.batch}x{args.frames} frames")
