@@ -32,11 +32,15 @@ def edit_speech(
     sway_sampling_coef: float = -1.0,
     seed: int | None = None,
     use_pinyin: bool = True,
+    return_mel: bool = False,
 ) -> np.ndarray:
     """Regenerate ``edit_spans_seconds`` of ``audio`` to match ``target_text``.
 
     ``fix_durations_seconds`` optionally resizes each edited span (the reference
     offsets the timeline accordingly, `speech_edit.py:137-158`).
+    ``return_mel=True`` additionally returns ``(wave, mel [n_mels, n_frames],
+    edit_mask [n_frames])`` — the model's raw output plus which frames were
+    regenerated, for offline evaluation without a trained vocoder.
     """
     sr = wrapper.target_sample_rate
     hop = wrapper.hop_length
@@ -102,7 +106,10 @@ def edit_speech(
     out_wave = wrapper._vocode_jit(out.swapaxes(1, 2))
     # fetch whole buffer then trim on host (eager device slices cost ~20 ms
     # of un-jitted dispatch each through the axon tunnel)
-    return np.asarray(out_wave)[0, : n_frames * hop].astype(np.float32)
+    wave_np = np.asarray(out_wave)[0, : n_frames * hop].astype(np.float32)
+    if return_mel:
+        return wave_np, np.asarray(out)[0, :n_frames].T, edit_mask
+    return wave_np
 
 
 def parse_spans(text: str) -> list[tuple[float, float]]:
