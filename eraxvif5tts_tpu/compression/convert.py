@@ -329,6 +329,8 @@ def backbone_params_from_torch(sd: dict[str, np.ndarray], backbone: str, depth: 
 def backbone_params_to_torch(params: dict, backbone: str, depth: int,
                              conv_layers: int = 4, qk_norm: bool = False,
                              long_skip: bool = False, with_prefix: bool = True) -> dict[str, np.ndarray]:
+    if "blocks" in params:  # scan_layers stacked layout -> per-block schema
+        params = unstack_block_params(params)
     rules = backbone_rules(backbone, depth, conv_layers, qk_norm, long_skip)
     prefix = "transformer." if with_prefix else ""
     out: dict[str, np.ndarray] = {}
@@ -444,3 +446,73 @@ def infer_text_num_embeds(sd: dict[str, np.ndarray]) -> int:
         if k.endswith("text_embed.text_embed.weight"):
             return v.shape[0] - 1
     raise KeyError("text embedding table not found in checkpoint")
+
+
+# ---------------------------------------------------------------------------
+# scan-layers layout adapters
+#
+# The on-disk/param-exchange schema is ALWAYS per-block (`block_N/...`, mapping
+# 1:1 to the reference's `transformer.transformer_blocks.N.*` keys, so the
+# torch import/export above and the pruner's per-layer surgery never see a
+# stacked tree). A DiT built with `arch.scan_layers=True` (models/dit.py) holds
+# one stacked subtree `blocks/...` with a leading [depth] axis instead; these
+# two functions convert between the layouts, loss-free in both directions.
+
+
+def stack_block_params(params: dict, name: str = "blocks",
+                       prefix: str = "block_") -> dict:
+    """Per-block `block_N` subtrees -> one stacked `blocks` subtree [depth, ...]."""
+    import jax
+    import jax.numpy as jnp
+
+    idxs = sorted(
+        int(k[len(prefix):]) for k in params
+        if k.startswith(prefix) and k[len(prefix):].isdigit()
+    )
+    if not idxs:
+        raise ValueError(f"no '{prefix}N' subtrees found to stack")
+    if idxs != list(range(len(idxs))):
+        raise ValueError(f"non-contiguous block indices {idxs}")
+    ordered = [params[f"{prefix}{i}"] for i in idxs]
+
+    def _stack(*leaves):
+        if all(isinstance(x, np.ndarray) for x in leaves):
+            return np.stack(leaves, axis=0)
+        return jnp.stack([jnp.asarray(x) for x in leaves], axis=0)
+
+    out = {
+        k: v for k, v in params.items()
+        if not (k.startswith(prefix) and k[len(prefix):].isdigit())
+    }
+    out[name] = jax.tree.map(_stack, *ordered)
+    return out
+
+
+def unstack_block_params(params: dict, name: str = "blocks",
+                         prefix: str = "block_") -> dict:
+    """Stacked `blocks` subtree [depth, ...] -> per-block `block_N` subtrees."""
+    import jax
+
+    if name not in params:
+        raise ValueError(f"no stacked '{name}' subtree found to unstack")
+    stacked = params[name]
+    depths = {x.shape[0] for x in jax.tree.leaves(stacked)}
+    if len(depths) != 1:
+        raise ValueError(f"inconsistent leading depth axes {sorted(depths)}")
+    depth = depths.pop()
+    out = {k: v for k, v in params.items() if k != name}
+    for i in range(depth):
+        out[f"{prefix}{i}"] = jax.tree.map(lambda x, i=i: x[i], stacked)
+    return out
+
+
+def adapt_block_layout(params: dict, scan_layers: bool, name: str = "blocks",
+                       prefix: str = "block_") -> dict:
+    """Return ``params`` in the layout the model expects; no-op if already there."""
+    has_stacked = name in params
+    has_per_block = any(
+        k.startswith(prefix) and k[len(prefix):].isdigit() for k in params
+    )
+    if scan_layers:
+        return stack_block_params(params, name, prefix) if has_per_block else params
+    return unstack_block_params(params, name, prefix) if has_stacked else params

@@ -55,6 +55,16 @@ class ArchConfig:
     # single-chip max batch; model builders treat an unresolved "auto" as
     # "full".
     remat_policy: str = "auto"  # "auto" | "full" | "dots" | "attn"
+    # Compile the DiT block stack as ONE nn.scan body instead of `depth`
+    # unrolled copies (TPU-first extension; the reference's Python loop at
+    # `backbones/dit.py:220-225` has no compile cost to amortize). Cuts XLA
+    # compile time ~O(depth) — the fast-compile mode for cold starts, dryruns
+    # and remote compiles. Params are stacked [depth, ...] under "blocks";
+    # compression/convert.py adapts to/from the per-block `block_N` layout so
+    # the `transformer.transformer_blocks.N.*` checkpoint schema and the
+    # pruner keep working. Steady-state default stays unrolled (see
+    # BASELINE.md scan-vs-unrolled A/B). Not supported with quantized=True.
+    scan_layers: bool = False
     dropout: float = 0.1
     # int8 W8A8 serving for the block matmuls (opt-in, TPU-first extension:
     # params must be pre-quantized via ops/quant.quantize_params)

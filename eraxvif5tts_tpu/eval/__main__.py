@@ -59,11 +59,26 @@ def _parser() -> argparse.ArgumentParser:
 
     ut = sub.add_parser("utmos", help="UTMOS naturalness MOS (reference eval_utmos.py)")
     ut.add_argument("-g", "--gen_wav_dir", required=True)
+
+    sub.add_parser(
+        "infill", add_help=False,
+        help="seeded infill battery on trained weights (offline mel-domain "
+             "metrics; see eval/infill.py) — remaining args pass through")
     return ap
 
 
 def main(argv=None, asr_fn=None, embed_fn=None, utmos_fn=None) -> dict:
-    args = _parser().parse_args(argv)
+    argv_list = list(argv) if argv is not None else None
+    if argv_list is None:
+        import sys
+
+        argv_list = sys.argv[1:]
+    if argv_list[:1] == ["infill"]:
+        from eraxvif5tts_tpu.eval.infill import run
+
+        return run(argv_list[1:])
+
+    args = _parser().parse_args(argv_list)
     gen_dir = args.gen_wav_dir
 
     if args.task == "utmos":

@@ -33,14 +33,16 @@ def edit_speech(
     seed: int | None = None,
     use_pinyin: bool = True,
     return_mel: bool = False,
-) -> np.ndarray:
+) -> np.ndarray | tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Regenerate ``edit_spans_seconds`` of ``audio`` to match ``target_text``.
 
     ``fix_durations_seconds`` optionally resizes each edited span (the reference
     offsets the timeline accordingly, `speech_edit.py:137-158`).
-    ``return_mel=True`` additionally returns ``(wave, mel [n_mels, n_frames],
-    edit_mask [n_frames])`` — the model's raw output plus which frames were
-    regenerated, for offline evaluation without a trained vocoder.
+    ``return_mel=True`` returns a 3-tuple ``(wave, mel [n_mels, n_frames],
+    edit_mask [n_frames])`` instead — the model's raw output plus the frame
+    mask in the repo's VALID convention: True = kept prompt frame, False =
+    regenerated frame (invert it to select the edited region, as
+    `scripts/edit_trained.py` does with ``~edit_mask``).
     """
     sr = wrapper.target_sample_rate
     hop = wrapper.hop_length

@@ -262,6 +262,14 @@ class F5TTSWrapper:
                 self.params = CFM.build(fp_tf, cfg.mel_spec).init_params(jax.random.key(0))
             else:
                 self.params = self.cfm.init_params(jax.random.key(0))
+        if cfg.backbone == "DiT":
+            # scan_layers models hold one stacked `blocks` subtree; checkpoint
+            # exchange stays per-block (`block_N` <-> torch
+            # `transformer.transformer_blocks.N.*`) — adapt whichever layout
+            # arrived to what the built model expects.
+            from eraxvif5tts_tpu.compression.convert import adapt_block_layout
+
+            self.params = adapt_block_layout(self.params, cfg.arch.scan_layers)
         if compute_dtype == "int8" and params is None:
             from eraxvif5tts_tpu.ops.quant import quantize_params
 

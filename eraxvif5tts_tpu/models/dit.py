@@ -25,6 +25,7 @@ from eraxvif5tts_tpu.models.modules import (
     ConvNeXtV2Block,
     ConvPositionEmbedding,
     DiTBlock,
+    ScanDiTBlock,
     TimestepEmbedding,
 )
 from eraxvif5tts_tpu.ops.rotary import abs_pos_embedding_table, rotary_freqs
@@ -139,12 +140,19 @@ class DiT(nn.Module):
         # Rematerialization trades FLOPs for HBM on the backward pass
         # (reference `dit.py:221-223` uses torch activation checkpointing).
         # static arg 5 = `deterministic` (0 is self); rope (4) is a traced constant
+        base_cls = ScanDiTBlock if a.scan_layers else DiTBlock
+        if a.scan_layers and a.quantized:
+            raise ValueError(
+                "scan_layers=True does not support quantized=True: int8 serving "
+                "pre-quantizes per-block param subtrees (ops/quant.quantize_params); "
+                "use the unrolled form for int8."
+            )
         if a.checkpoint_activations:
             if a.remat_policy == "dots":
                 import jax
 
                 block_cls = nn.remat(
-                    DiTBlock, static_argnums=(5,),
+                    base_cls, static_argnums=(5,),
                     policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
                 )
             elif a.remat_policy == "attn":
@@ -158,7 +166,7 @@ class DiT(nn.Module):
                 import jax
 
                 block_cls = nn.remat(
-                    DiTBlock, static_argnums=(5,),
+                    base_cls, static_argnums=(5,),
                     policy=jax.checkpoint_policies.save_only_these_names(
                         "dit_attn_out"),
                 )
@@ -168,27 +176,41 @@ class DiT(nn.Module):
                 # unresolved "auto" reaching a model builder means a direct
                 # construction (tests, serving) — take the conservative
                 # max-batch default.
-                block_cls = nn.remat(DiTBlock, static_argnums=(5,))
+                block_cls = nn.remat(base_cls, static_argnums=(5,))
             else:
                 raise ValueError(
                     f"unknown remat_policy {a.remat_policy!r} (auto|full|dots|attn)")
         else:
-            block_cls = DiTBlock
-        self.blocks = [
-            block_cls(
-                dim=a.dim,
-                heads=a.heads,
-                dim_head=a.dim_head,
-                ff_mult=a.ff_mult,
-                dropout=a.dropout,
-                qk_norm=a.qk_norm,
-                pe_attn_head=a.pe_attn_head,
-                dtype=self.compute_dtype,
-                quantized=a.quantized,
-                name=f"block_{i}",
+            block_cls = base_cls
+        block_kwargs = dict(
+            dim=a.dim,
+            heads=a.heads,
+            dim_head=a.dim_head,
+            ff_mult=a.ff_mult,
+            dropout=a.dropout,
+            qk_norm=a.qk_norm,
+            pe_attn_head=a.pe_attn_head,
+            dtype=self.compute_dtype,
+            quantized=a.quantized,
+        )
+        if a.scan_layers:
+            # One compiled block body for the whole stack: params stack to
+            # [depth, ...] under "blocks"; t/mask/rope/deterministic broadcast
+            # into every iteration, x is the scan carry. Per-layer init and
+            # dropout streams stay distinct via split_rngs.
+            scan_cls = nn.scan(
+                block_cls,
+                variable_axes={"params": 0},
+                split_rngs={"params": True, "dropout": True},
+                in_axes=(nn.broadcast, nn.broadcast, nn.broadcast, nn.broadcast),
+                length=a.depth,
             )
-            for i in range(a.depth)
-        ]
+            self.blocks = scan_cls(**block_kwargs, name="blocks")
+        else:
+            self.blocks = [
+                block_cls(**block_kwargs, name=f"block_{i}")
+                for i in range(a.depth)
+            ]
         if a.long_skip_connection:
             self.long_skip = nn.Dense(a.dim, use_bias=False, dtype=self.compute_dtype, name="long_skip")
         self.norm_out = AdaLayerNormFinal(a.dim, dtype=self.compute_dtype, name="norm_out")
@@ -228,8 +250,11 @@ class DiT(nn.Module):
         if self.arch.long_skip_connection:
             residual = h
 
-        for block in self.blocks:
-            h = block(h, t, mask, rope, deterministic)
+        if self.arch.scan_layers:
+            h, _ = self.blocks(h, t, mask, rope, deterministic)
+        else:
+            for block in self.blocks:
+                h = block(h, t, mask, rope, deterministic)
 
         if self.arch.long_skip_connection:
             h = self.long_skip(jnp.concatenate([h, residual], axis=-1))

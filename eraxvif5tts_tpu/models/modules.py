@@ -434,6 +434,73 @@ class Attention(nn.Module):
         return out
 
 
+def _dit_block_forward(
+    self: "DiTBlock",
+    x: jnp.ndarray,
+    t: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    rope: Optional[jnp.ndarray],
+    deterministic: bool,
+) -> jnp.ndarray:
+    """Shared DiTBlock body, called from inside a compact ``__call__``.
+
+    Lives outside the class so :class:`ScanDiTBlock` (the ``nn.scan``
+    carry-form used when ``arch.scan_layers`` is on) can reuse it without
+    re-entering a second compact method — flax forbids compact->compact calls
+    on one instance. Submodule names are identical in both forms, so the
+    per-layer param subtree is layout-compatible (stack <-> unstack adapters
+    in `compression/convert.py`).
+    """
+    from eraxvif5tts_tpu.ops.fused_matmul import dit_block_fusion_ok
+
+    b, n, _ = x.shape
+    fused = (
+        deterministic
+        and not self.quantized
+        and dit_block_fusion_ok(n, self.dim, self.heads * self.dim_head,
+                                int(self.dim * self.ff_mult), self.dtype)
+    )
+    attn = Attention(
+        dim=self.dim,
+        heads=self.heads,
+        dim_head=self.dim_head,
+        dropout=self.dropout,
+        qk_norm=self.qk_norm,
+        pe_attn_head=self.pe_attn_head,
+        dtype=self.dtype,
+        quantized=self.quantized,
+        name="attn",
+    )
+    ff = FeedForward(self.dim, mult=self.ff_mult, dropout=self.dropout,
+                     dtype=self.dtype, quantized=self.quantized, name="ff")
+    norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
+        self.dim, dtype=self.dtype, name="attn_norm"
+    )(x, t)
+    attn_out = attn(norm, mask=mask, rope=rope, deterministic=deterministic)
+    # identity outside jax.checkpoint; under remat_policy="attn" this names
+    # the tensor the save_only_these_names policy keeps (models/dit.py)
+    attn_out = checkpoint_name(attn_out, "dit_attn_out")
+    x = x + gate_msa[:, None] * attn_out
+
+    if fused:
+        # serving path: the FF half's LN + modulate + GELU fold into the
+        # project_in matmul (`ops/fused_matmul.ln_mod_matmul`). ONLY this
+        # projection is hand-fused: measured on hardware
+        # (`benchmarks/fused_kernel_bench.py`), it is the one place XLA
+        # leaves real time on the table (69 -> 21 us at serving shapes),
+        # while the packed-qkv and out-projection+gate+residual fusions
+        # both LOSE to XLA's own epilogue fusion — see fused_matmul.py's
+        # module docstring for the ablation.
+        ff_out = ff(x, deterministic=True,
+                    fused_adaln=(scale_mlp, shift_mlp))
+        return x + gate_mlp[:, None] * ff_out
+
+    norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype, name="ff_norm")(x)
+    norm = norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
+    ff_out = ff(norm, deterministic=deterministic)
+    return x + gate_mlp[:, None] * ff_out
+
+
 class DiTBlock(nn.Module):
     """AdaLN-zero pre-norm attention + gated FF (`modules.py:610-641`)."""
 
@@ -456,51 +523,24 @@ class DiTBlock(nn.Module):
         rope: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ) -> jnp.ndarray:
-        from eraxvif5tts_tpu.ops.fused_matmul import dit_block_fusion_ok
+        return _dit_block_forward(self, x, t, mask, rope, deterministic)
 
-        b, n, _ = x.shape
-        fused = (
-            deterministic
-            and not self.quantized
-            and dit_block_fusion_ok(n, self.dim, self.heads * self.dim_head,
-                                    int(self.dim * self.ff_mult), self.dtype)
-        )
-        attn = Attention(
-            dim=self.dim,
-            heads=self.heads,
-            dim_head=self.dim_head,
-            dropout=self.dropout,
-            qk_norm=self.qk_norm,
-            pe_attn_head=self.pe_attn_head,
-            dtype=self.dtype,
-            quantized=self.quantized,
-            name="attn",
-        )
-        ff = FeedForward(self.dim, mult=self.ff_mult, dropout=self.dropout,
-                         dtype=self.dtype, quantized=self.quantized, name="ff")
-        norm, gate_msa, shift_mlp, scale_mlp, gate_mlp = AdaLayerNorm(
-            self.dim, dtype=self.dtype, name="attn_norm"
-        )(x, t)
-        attn_out = attn(norm, mask=mask, rope=rope, deterministic=deterministic)
-        # identity outside jax.checkpoint; under remat_policy="attn" this names
-        # the tensor the save_only_these_names policy keeps (models/dit.py)
-        attn_out = checkpoint_name(attn_out, "dit_attn_out")
-        x = x + gate_msa[:, None] * attn_out
 
-        if fused:
-            # serving path: the FF half's LN + modulate + GELU fold into the
-            # project_in matmul (`ops/fused_matmul.ln_mod_matmul`). ONLY this
-            # projection is hand-fused: measured on hardware
-            # (`benchmarks/fused_kernel_bench.py`), it is the one place XLA
-            # leaves real time on the table (69 -> 21 us at serving shapes),
-            # while the packed-qkv and out-projection+gate+residual fusions
-            # both LOSE to XLA's own epilogue fusion — see fused_matmul.py's
-            # module docstring for the ablation.
-            ff_out = ff(x, deterministic=True,
-                        fused_adaln=(scale_mlp, shift_mlp))
-            return x + gate_mlp[:, None] * ff_out
+class ScanDiTBlock(DiTBlock):
+    """DiTBlock in ``nn.scan`` carry form: returns ``(x, None)``.
 
-        norm = nn.LayerNorm(use_bias=False, use_scale=False, epsilon=1e-6, dtype=self.dtype, name="ff_norm")(x)
-        norm = norm * (1 + scale_mlp[:, None]) + shift_mlp[:, None]
-        ff_out = ff(norm, deterministic=deterministic)
-        return x + gate_mlp[:, None] * ff_out
+    Same fields, same submodule names (one stacked param subtree per leaf),
+    used by `models/dit.py` when ``arch.scan_layers`` is set so the full-depth
+    graph compiles ONE block body instead of ``depth`` copies.
+    """
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        rope: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ):
+        return _dit_block_forward(self, x, t, mask, rope, deterministic), None

@@ -312,9 +312,10 @@ def serving_attention(
     optional fused rotary (``rope [n, d]`` interleaved-pair angles applied to
     the raw q/k inside the kernel, all heads).
 
-    ``variant``: "headloop" (per-head fat matmuls, default) or "batched"
-    (batched-head dot_general). ``blocks`` overrides the (head block, q block)
-    chooser — the sweep harness' knob.
+    ``variant``: "headloop" (per-head fat matmuls, default), "headloop_pre"
+    (rotate q/k once up front — benchmark-only, measured negative) or
+    "batched" (batched-head dot_general). ``blocks`` overrides the
+    (head block, q block) chooser — the sweep harness' knob.
 
     Requires n % 128 == 0 — or n % 64 == 0 with a VMEM-feasible one-shot
     block (`one_shot_feasible`) — and d in {64, 128} (the caller dispatches).
@@ -360,10 +361,18 @@ def padded_serving_attention(
 
 
 def _serving_attention_impl(q, k, v, lens, rope, interpret, variant, blocks):
+    if variant not in ("batched", "headloop", "headloop_pre"):
+        raise ValueError(
+            f"unknown serving_attention variant {variant!r} "
+            "(batched|headloop|headloop_pre)")
     b, n, h, d = q.shape
     if blocks is not None:
         hb, bq = blocks
     elif variant.startswith("headloop"):
+        # NOTE: _headloop_blocks' VMEM model covers the default headloop
+        # kernel; "headloop_pre" adds two rotated [hb, n, d] q/k copies it
+        # does not account for (benchmark-only variant, measured negative —
+        # pass explicit `blocks` when sweeping it at fat head blocks).
         hb, bq = _headloop_blocks(n, h, d)
     else:
         hb, bq = _blocks(n, h)

@@ -80,13 +80,16 @@ def param_shardings(mesh: Mesh, params: Any, use_tp: bool = True) -> Any:
         if not use_tp or mesh.shape.get("model", 1) == 1:
             return NamedSharding(mesh, P())
         spec = param_sharding_rules(_path_str(key_path))
-        # only shard if divisible
         dims = np.asarray(leaf).shape if hasattr(leaf, "shape") else ()
-        resolved = []
+        # scan_layers stacks per-block params with a leading [depth] axis
+        # (path `blocks/...` instead of `block_N/...`); the 2-D kernel rules
+        # then apply to axes 1.. — replicate the depth axis.
+        if dims and len(spec) and len(dims) == len(spec) + 1:
+            spec = P(None, *spec)
+        # only shard if divisible
         for axis, name in enumerate(spec):
             if name == "model" and dims and dims[axis] % mesh.shape["model"] != 0:
                 return NamedSharding(mesh, P())
-            resolved.append(name)
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(spec_for, params)

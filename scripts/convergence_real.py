@@ -27,43 +27,11 @@ import os
 
 import numpy as np
 
-REF_ROOT = "/root/reference"
-CORPUS = [
-    ("src/f5_tts/infer/examples/basic/basic_ref_en.wav",
-     "Some call me nature, others call me mother nature."),
-    ("src/f5_tts/infer/examples/basic/basic_ref_zh.wav",
-     "对，这就是我，万人敬仰的太乙真人。"),
-    ("src/infer/update_213000_ref.wav",
-     "Thậm chí không ăn thì cũng có cảm giác rất là cứng bụng, chủ yếu là cái "
-     "phần rốn trở lên. Em có cảm giác khó thở, và ngủ cũng không ngon, "
-     "thường bị ợ hơi rất là nhiều"),
-]
-
-
-def load_corpus(mel_fn, sr_target: int, hop: int):
-    from eraxvif5tts_tpu.audio.io import read_wav
-    from eraxvif5tts_tpu.audio.resample import resample
-
-    rows = []
-    for rel, text in CORPUS:
-        path = os.path.join(REF_ROOT, rel)
-        if not os.path.isfile(path):
-            continue
-        wav, sr = read_wav(path)
-        wav = wav.mean(axis=0)
-        if sr != sr_target:
-            wav = resample(wav, sr, sr_target)
-        n_frames = len(wav) // hop
-        wav = wav[: n_frames * hop]
-        mel = np.asarray(mel_fn(wav[None]))[0].T[:n_frames]  # [n, n_mels]
-        rows.append({
-            "text": text,
-            "duration": n_frames * hop / sr_target,
-            "mel_spec": mel.astype(np.float32),
-        })
-    if not rows:
-        raise FileNotFoundError(f"no corpus wavs under {REF_ROOT}")
-    return rows
+# canonical corpus + loader live in the package now (the repeatable eval
+# harness `python -m eraxvif5tts_tpu.eval infill` uses the same table);
+# re-exported here so sibling scripts' `from convergence_real import
+# load_corpus` keeps working.
+from eraxvif5tts_tpu.eval.infill import CORPUS, REF_ROOT, load_corpus  # noqa: F401,E402
 
 
 def main():

@@ -1,0 +1,182 @@
+"""scan-over-layers (arch.scan_layers): one compiled DiT block body for the
+whole stack, vs the unrolled per-block form.
+
+Covers the VERDICT round-4 task: scan-form ≡ unrolled-form outputs on fixed
+weights, the stack↔per-block checkpoint-layout adapters both directions, the
+TP sharding of stacked params, and the DP+TP train step over the 8-device
+virtual mesh with scan on (the dryrun configuration).
+Reference semantics being certified: the 22-block Python loop of
+`src/f5_tts/model/backbones/dit.py:220-225`.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eraxvif5tts_tpu.compression.convert import (
+    adapt_block_layout,
+    backbone_params_to_torch,
+    stack_block_params,
+    unstack_block_params,
+)
+from eraxvif5tts_tpu.configs import ArchConfig
+from eraxvif5tts_tpu.models.cfm import CFM
+from eraxvif5tts_tpu.models.dit import DiT
+
+ARCH = ArchConfig(dim=64, depth=3, heads=2, dim_head=32, ff_mult=2, text_dim=32,
+                  conv_layers=1, dropout=0.0)
+ARCH_SCAN = dataclasses.replace(ARCH, scan_layers=True)
+
+
+def _inputs(b=2, n=32, d=10, nt=8):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    cond = jnp.asarray(rng.standard_normal((b, n, d)), jnp.float32)
+    text = jnp.asarray(rng.integers(1, 20, (b, nt)), jnp.int32)
+    time = jnp.full((b,), 0.4, jnp.float32)
+    return x, cond, text, time
+
+
+@pytest.fixture(scope="module")
+def unrolled_params():
+    dit = DiT(arch=ARCH, text_num_embeds=30, mel_dim=10)
+    x, cond, text, time = _inputs()
+    return dit.init(jax.random.key(0), x, cond, text, time)["params"]
+
+
+def test_scan_matches_unrolled_forward(unrolled_params):
+    x, cond, text, time = _inputs()
+    dit_u = DiT(arch=ARCH, text_num_embeds=30, mel_dim=10)
+    dit_s = DiT(arch=ARCH_SCAN, text_num_embeds=30, mel_dim=10)
+    stacked = stack_block_params(dict(unrolled_params))
+    out_u = dit_u.apply({"params": unrolled_params}, x, cond, text, time)
+    out_s = dit_s.apply({"params": stacked}, x, cond, text, time)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_s),
+                               rtol=0, atol=1e-5)
+
+
+@pytest.mark.parametrize("policy", ["full", "dots", "attn"])
+def test_scan_remat_matches_unrolled(unrolled_params, policy):
+    x, cond, text, time = _inputs()
+    arch = dataclasses.replace(ARCH_SCAN, checkpoint_activations=True,
+                               remat_policy=policy)
+    dit_u = DiT(arch=ARCH, text_num_embeds=30, mel_dim=10)
+    dit_s = DiT(arch=arch, text_num_embeds=30, mel_dim=10)
+    stacked = stack_block_params(dict(unrolled_params))
+    out_u = dit_u.apply({"params": unrolled_params}, x, cond, text, time)
+    out_s = dit_s.apply({"params": stacked}, x, cond, text, time)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_s),
+                               rtol=0, atol=1e-5)
+
+
+def test_scan_grads_match_unrolled(unrolled_params):
+    """d(loss)/d(params) of the scan form equals the stacked unrolled grads."""
+    x, cond, text, time = _inputs()
+    dit_u = DiT(arch=ARCH, text_num_embeds=30, mel_dim=10)
+    dit_s = DiT(arch=ARCH_SCAN, text_num_embeds=30, mel_dim=10)
+    stacked = stack_block_params(dict(unrolled_params))
+
+    def loss_u(p):
+        return jnp.mean(dit_u.apply({"params": p}, x, cond, text, time) ** 2)
+
+    def loss_s(p):
+        return jnp.mean(dit_s.apply({"params": p}, x, cond, text, time) ** 2)
+
+    g_u = stack_block_params(dict(jax.grad(loss_u)(unrolled_params)))
+    g_s = jax.grad(loss_s)(stacked)
+    flat_u, tree_u = jax.tree_util.tree_flatten_with_path(g_u)
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(g_s)[0])
+    assert len(flat_u) == len(flat_s)
+    for path, leaf_u in flat_u:
+        np.testing.assert_allclose(
+            np.asarray(leaf_u), np.asarray(flat_s[path]), rtol=0, atol=2e-5,
+            err_msg=str(path))
+
+
+def test_stack_unstack_roundtrip(unrolled_params):
+    stacked = stack_block_params(dict(unrolled_params))
+    assert "blocks" in stacked and "block_0" not in stacked
+    for leaf in jax.tree.leaves(stacked["blocks"]):
+        assert leaf.shape[0] == ARCH.depth
+    restored = unstack_block_params(stacked)
+    flat_a = jax.tree_util.tree_flatten_with_path(dict(unrolled_params))[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]))
+
+
+def test_adapt_block_layout_dispatch(unrolled_params):
+    per_block = dict(unrolled_params)
+    stacked = stack_block_params(per_block)
+    # already in the requested layout -> no-op (same object tree)
+    assert adapt_block_layout(per_block, scan_layers=False) is per_block
+    assert adapt_block_layout(stacked, scan_layers=True) is stacked
+    # conversions
+    assert "blocks" in adapt_block_layout(per_block, scan_layers=True)
+    assert "block_0" in adapt_block_layout(stacked, scan_layers=False)
+
+
+def test_stack_errors():
+    with pytest.raises(ValueError, match="no 'block_N'"):
+        stack_block_params({"proj_out": {}})
+    with pytest.raises(ValueError, match="non-contiguous"):
+        stack_block_params({"block_0": {"k": np.zeros(2)}, "block_2": {"k": np.zeros(2)}})
+    with pytest.raises(ValueError, match="no stacked"):
+        unstack_block_params({"block_0": {"k": np.zeros(2)}})
+
+
+def test_torch_export_accepts_stacked_layout(unrolled_params):
+    """backbone_params_to_torch unstacks transparently: the checkpoint schema
+    stays `transformer.transformer_blocks.N.*` regardless of model layout."""
+    sd_u = backbone_params_to_torch(dict(unrolled_params), "DiT", ARCH.depth,
+                                    conv_layers=ARCH.conv_layers)
+    sd_s = backbone_params_to_torch(stack_block_params(dict(unrolled_params)),
+                                    "DiT", ARCH.depth, conv_layers=ARCH.conv_layers)
+    assert sd_u.keys() == sd_s.keys()
+    for k in sd_u:
+        np.testing.assert_array_equal(sd_u[k], sd_s[k])
+
+
+def test_scan_rejects_quantized():
+    arch = dataclasses.replace(ARCH_SCAN, quantized=True)
+    dit = DiT(arch=arch, text_num_embeds=30, mel_dim=10)
+    x, cond, text, time = _inputs()
+    with pytest.raises(ValueError, match="scan_layers"):
+        dit.init(jax.random.key(0), x, cond, text, time)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_scan_tp_shardings_and_train_step():
+    """Stacked params get depth-replicated TP specs; the DP+TP train step runs
+    on the 8-device mesh with scan_layers on (the dryrun configuration)."""
+    from jax.sharding import PartitionSpec as P
+
+    from eraxvif5tts_tpu.parallel.mesh import make_mesh, param_shardings
+    from eraxvif5tts_tpu.training.trainer import Trainer, make_optimizer
+
+    mesh = make_mesh(n_model=2)
+    dit = DiT(arch=ARCH_SCAN, text_num_embeds=8, mel_dim=8)
+    cfm = CFM(transformer=dit)
+    trainer = Trainer(cfm=cfm, optimizer=make_optimizer(total_updates=10),
+                      mesh=mesh)
+    state = trainer.init_state(jax.random.key(0))
+    shardings = param_shardings(mesh, state.params)
+    spec_q = shardings["blocks"]["attn"]["to_q"]["kernel"].spec
+    assert spec_q == P(None, None, "model"), spec_q
+    spec_out = shardings["blocks"]["ff"]["project_out"]["kernel"].spec
+    assert spec_out == P(None, "model", None), spec_out
+
+    b = 16
+    rng = np.random.default_rng(0)
+    batch = {
+        "mel": rng.standard_normal((b, 16, 8)).astype(np.float32),
+        "text": np.tile(np.asarray([[1, 2, 3, -1]], np.int32), (b, 1)),
+        "lens": np.full((b,), 16, np.int32),
+    }
+    state, metrics = trainer.train_step(state, batch, jax.random.key(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1
