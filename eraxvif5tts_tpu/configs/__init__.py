@@ -247,4 +247,16 @@ PRESETS: dict[str, ModelConfig] = {
             text_mask_padding=False, pe_attn_head=1, conv_layers=0,
         ),
     ),
+    # Flagship-dim MMDiT (SD3-style dual-stream joint attention,
+    # reference `backbones/mmdit.py:85-189`). The reference ships no MMDiT
+    # YAML; this preset exists so the third backbone has a servable config
+    # and a recorded perf row (`benchmarks/wrapper_rtf.py --model
+    # F5TTS_v1_MMDiT`). Joint attention runs over [audio|text] with a
+    # non-prefix validity mask, so it rides the flash/XLA attention path,
+    # not the one-shot serving kernel (ops/attention.use_serving_kernel).
+    "F5TTS_v1_MMDiT": ModelConfig(
+        name="F5TTS_v1_MMDiT",
+        backbone="MMDiT",
+        arch=ArchConfig(dim=1024, depth=22, heads=16, dim_head=64, ff_mult=2),
+    ),
 }

@@ -153,7 +153,24 @@ def checkpoint_restore(path: str, template: Any) -> tuple[Any, Optional[dict]]:
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, target=jax.device_get(template))
+    try:
+        restored = ckptr.restore(path, target=jax.device_get(template))
+    except Exception as e:
+        # layout preflight: a scan_layers model cannot resume an unrolled-form
+        # train checkpoint in place (opt-state moments share the param tree
+        # structure) — surface the fix instead of Orbax's tree-mismatch dump.
+        t_params = getattr(template, "params", None)
+        if isinstance(t_params, dict):
+            t_scan = "blocks" in t_params
+            raise RuntimeError(
+                f"checkpoint restore failed for {path}; if this checkpoint was "
+                f"written with the other block layout (model expects "
+                f"{'stacked scan' if t_scan else 'unrolled per-block'} params), "
+                "resume with the matching arch.scan_layers, or convert weights "
+                "offline via compression.convert.adapt_block_layout and restart "
+                "the optimizer"
+            ) from e
+        raise
     meta = None
     meta_path = path + ".meta.json"
     if os.path.isfile(meta_path):

@@ -112,3 +112,33 @@ def test_mu_dtype_bfloat16_moments():
                                                              mu_dtype="fp8"))
     with pytest.raises(ValueError, match="mu_dtype"):
         build_trainer(bad, vocab_size=8, total_updates=10)
+
+
+def test_mmdit_preset_builds_and_samples():
+    """F5TTS_v1_MMDiT: flagship-dim dual-stream backbone is servable through
+    the same CFM interface (tiny-dim twin to keep this CPU-cheap)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eraxvif5tts_tpu.configs import PRESETS
+    from eraxvif5tts_tpu.models import build_backbone
+    from eraxvif5tts_tpu.models.cfm import CFM
+
+    preset = PRESETS["F5TTS_v1_MMDiT"]
+    assert preset.backbone == "MMDiT"
+    assert (preset.arch.dim, preset.arch.depth, preset.arch.heads) == (1024, 22, 16)
+
+    tiny = dataclasses.replace(preset, arch=dataclasses.replace(
+        preset.arch, dim=64, depth=2, heads=2, dim_head=32))
+    mmdit = build_backbone(tiny, text_num_embeds=20)
+    cfm = CFM.build(mmdit, tiny.mel_spec)
+    params = cfm.init_params(jax.random.key(0))
+    cond = jnp.asarray(np.random.default_rng(0).standard_normal((1, 16, 100)),
+                       jnp.float32)
+    text = jnp.asarray([[1, 2, 3, -1]], jnp.int32)
+    out = cfm.sample(params, cond, text, jnp.asarray([32]), jnp.asarray([16]),
+                     jax.random.key(1), steps=2, max_duration=64)
+    assert np.isfinite(np.asarray(out)).all()
