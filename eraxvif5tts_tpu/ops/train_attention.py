@@ -243,9 +243,9 @@ def _specs_bhnd(bq, d, n, blocked_k=None):
                         memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
 def _train_attention(q, k, v, lens, seed, keep: float, masked: bool,
-                     interpret: bool):
+                     interpret: bool, bwd_blocks):
     out, _ = _fwd(q, k, v, lens, seed, keep, masked, interpret)
     return out
 
@@ -286,16 +286,27 @@ def _fwd(q, k, v, lens, seed, keep, masked, interpret):
     return out, lse
 
 
-def _train_attention_fwd(q, k, v, lens, seed, keep, masked, interpret):
+def _train_attention_fwd(q, k, v, lens, seed, keep, masked, interpret,
+                         bwd_blocks):
     out, lse = _fwd(q, k, v, lens, seed, keep, masked, interpret)
     return out, (q, k, v, lens, seed, out, lse)
 
 
-def _train_attention_bwd(keep, masked, interpret, res, do):
+def _train_attention_bwd(keep, masked, interpret, bwd_blocks, res, do):
     q, k, v, lens, seed, out, lse = res
     b, h, n, d = q.shape
-    bq = _block(n)
-    bk = _block(n)
+    # (bq_dq, bk_dq, bk_dkv, bq_dkv) override — the sweep harness' knob
+    # (benchmarks/train_attn_bwd_sweep.py); default = calibrated _block(n).
+    # The position-hash dropout mask depends only on absolute positions, so
+    # any valid block layout reproduces byte-identical masks (module docstring).
+    if bwd_blocks is not None:
+        bq_dq, bk_dq, bk_dkv, bq_dkv = bwd_blocks
+        for blk in bwd_blocks:
+            assert n % blk == 0, (n, bwd_blocks)
+    else:
+        bq_dq = bk_dq = bk_dkv = bq_dkv = _block(n)
+    bq = bq_dq
+    bk = bk_dq
     scale = 1.0 / math.sqrt(d)
     # D_q = rowsum(dO * O): cheap elementwise in XLA, lane-replicated to match
     # the lse storage layout
@@ -328,6 +339,7 @@ def _train_attention_bwd(keep, masked, interpret, res, do):
     )(seed, lens, q, k.reshape(b, h, n // bk, bk, d),
       v.reshape(b, h, n // bk, bk, d), do, lse, dd)
 
+    bq, bk = bq_dkv, bk_dkv
     kv_spec = pl.BlockSpec((1, 1, bk, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0),
                            memory_space=pltpu.VMEM)
     q_spec = pl.BlockSpec((1, 1, bq, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0),
@@ -375,11 +387,14 @@ def train_attention(
     dropout_rate: float = 0.0,
     dropout_rng: jax.Array | None = None,
     interpret: bool = False,
+    bwd_blocks: tuple[int, int, int, int] | None = None,
 ) -> jnp.ndarray:
     """Differentiable flash attention with in-kernel dropout.
 
     ``q/k/v: [b, n, h, d]``; ``key_valid [b, n]`` must be a contiguous prefix
     mask. ``dropout_rng`` seeds the position-hash mask (folded to one int32).
+    ``bwd_blocks=(bq_dq, bk_dq, bk_dkv, bq_dkv)`` overrides the backward
+    kernels' block shapes (each must divide n); None = calibrated default.
     """
     b, n, h, d = q.shape
     assert can_use_train_kernel(n, d), (n, d)
@@ -402,7 +417,8 @@ def train_attention(
     else:
         lens = jnp.full((b,), n, jnp.int32)
     qt, kt, vt = (t.swapaxes(1, 2) for t in (q, k, v))
-    out = _train_attention(qt, kt, vt, lens, seed, keep, masked, interpret)
+    out = _train_attention(qt, kt, vt, lens, seed, keep, masked, interpret,
+                           bwd_blocks)
     return out.swapaxes(1, 2)
 
 

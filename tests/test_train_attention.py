@@ -103,3 +103,37 @@ def test_seed_determinism():
     c = train_attention(q, k, v, key_valid=mask, dropout_rate=0.2,
                         dropout_rng=jax.random.key(4), interpret=True)
     assert np.abs(np.asarray(a - c)).max() > 1e-3
+
+
+def test_bwd_blocks_override_grads_identical():
+    """bwd_blocks overrides the backward kernels' block layout without
+    changing results: grads are identical to the default layout (the
+    position-hash dropout mask depends only on absolute positions)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from eraxvif5tts_tpu.ops.train_attention import train_attention
+
+    b, n, h, d = 2, 256, 2, 64
+    kq, kk, kv = jax.random.split(jax.random.key(3), 3)
+    q = jax.random.normal(kq, (b, n, h, d), jnp.float32)
+    k = jax.random.normal(kk, (b, n, h, d), jnp.float32)
+    v = jax.random.normal(kv, (b, n, h, d), jnp.float32)
+    mask = jnp.arange(n)[None, :] < jnp.asarray([n, n - 128])[:, None]
+    rng = jax.random.key(9)
+
+    def grads(cfg):
+        def loss(args):
+            q_, k_, v_ = args
+            o = train_attention(q_, k_, v_, key_valid=mask, dropout_rate=0.1,
+                                dropout_rng=rng, interpret=True,
+                                bwd_blocks=cfg)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+        return jax.grad(loss)((q, k, v))
+
+    g_def = grads(None)
+    g_alt = grads((128, 256, 128, 256))
+    for a, b_ in zip(g_def, g_alt):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=0, atol=2e-4)
