@@ -331,6 +331,8 @@ def backbone_params_to_torch(params: dict, backbone: str, depth: int,
                              long_skip: bool = False, with_prefix: bool = True) -> dict[str, np.ndarray]:
     if "blocks" in params:  # scan_layers stacked layout -> per-block schema
         params = unstack_block_params(params)
+    if "down_blocks" in params:  # UNetT scan_layers layout -> flat schema
+        params = unstack_unett_params(params)
     rules = backbone_rules(backbone, depth, conv_layers, qk_norm, long_skip)
     prefix = "transformer." if with_prefix else ""
     out: dict[str, np.ndarray] = {}
@@ -516,3 +518,73 @@ def adapt_block_layout(params: dict, scan_layers: bool, name: str = "blocks",
     if scan_layers:
         return stack_block_params(params, name, prefix) if has_per_block else params
     return unstack_block_params(params, name, prefix) if has_stacked else params
+
+
+_UNETT_PARTS = ("attn", "attn_norm", "ff", "ff_norm")
+
+
+def stack_unett_params(params: dict, name_down: str = "down_blocks",
+                       name_up: str = "up_blocks") -> dict:
+    """UNetT flat per-index subtrees (`attn_3`, `skip_proj_12`, ...) -> the two
+    stacked scan subtrees (`down_blocks`, `up_blocks` with a leading
+    [depth/2] axis). Inverse of :func:`unstack_unett_params`."""
+    import jax
+    import jax.numpy as jnp
+
+    idxs = sorted(int(k[len("attn_"):]) for k in params
+                  if k.startswith("attn_") and k[len("attn_"):].isdigit())
+    if not idxs or idxs != list(range(len(idxs))):
+        raise ValueError(f"unexpected UNetT layer indices {idxs}")
+    depth = len(idxs)
+    half = depth // 2
+
+    def _stack(*leaves):
+        if all(isinstance(x, np.ndarray) for x in leaves):
+            return np.stack(leaves, axis=0)
+        return jnp.stack([jnp.asarray(x) for x in leaves], axis=0)
+
+    def layer(i: int) -> dict:
+        sub = {p: params[f"{p}_{i}"] for p in _UNETT_PARTS}
+        if f"skip_proj_{i}" in params:
+            sub["skip_proj"] = params[f"skip_proj_{i}"]
+        return sub
+
+    consumed = {f"{p}_{i}" for p in _UNETT_PARTS + ("skip_proj",)
+                for i in range(depth)}
+    out = {k: v for k, v in params.items() if k not in consumed}
+    out[name_down] = jax.tree.map(_stack, *[layer(i) for i in range(half)])
+    out[name_up] = jax.tree.map(_stack, *[layer(i) for i in range(half, depth)])
+    return out
+
+
+def unstack_unett_params(params: dict, name_down: str = "down_blocks",
+                         name_up: str = "up_blocks") -> dict:
+    """Stacked UNetT scan subtrees -> the flat per-index layout."""
+    import jax
+
+    if name_down not in params or name_up not in params:
+        raise ValueError("no stacked UNetT subtrees found to unstack")
+    down, up = params[name_down], params[name_up]
+    half = {x.shape[0] for x in jax.tree.leaves(down)}
+    half |= {x.shape[0] for x in jax.tree.leaves(up)}
+    if len(half) != 1:
+        raise ValueError(f"inconsistent leading depth axes {sorted(half)}")
+    half = half.pop()
+    out = {k: v for k, v in params.items() if k not in (name_down, name_up)}
+    for j in range(half):
+        for stacked, base in ((down, 0), (up, half)):
+            sub = jax.tree.map(lambda x, j=j: x[j], stacked)
+            for p, v in sub.items():
+                out[f"{p}_{base + j}"] = v
+    return out
+
+
+def adapt_unett_layout(params: dict, scan_layers: bool) -> dict:
+    """Return UNetT ``params`` in the layout the model expects; no-op if
+    already there."""
+    has_stacked = "down_blocks" in params
+    has_flat = any(k.startswith("attn_") and k[len("attn_"):].isdigit()
+                   for k in params)
+    if scan_layers:
+        return stack_unett_params(params) if has_flat else params
+    return unstack_unett_params(params) if has_stacked else params

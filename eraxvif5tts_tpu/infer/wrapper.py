@@ -270,6 +270,10 @@ class F5TTSWrapper:
             from eraxvif5tts_tpu.compression.convert import adapt_block_layout
 
             self.params = adapt_block_layout(self.params, cfg.arch.scan_layers)
+        elif cfg.backbone == "UNetT":
+            from eraxvif5tts_tpu.compression.convert import adapt_unett_layout
+
+            self.params = adapt_unett_layout(self.params, cfg.arch.scan_layers)
         if compute_dtype == "int8" and params is None:
             from eraxvif5tts_tpu.ops.quant import quantize_params
 

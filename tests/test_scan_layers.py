@@ -180,3 +180,86 @@ def test_scan_tp_shardings_and_train_step():
     state, metrics = trainer.train_step(state, batch, jax.random.key(1))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+# ---------------------------------------------------------------------------
+# UNetT (E2-TTS) scan form — two scan groups: down emits skips, up consumes
+# them reversed (reference `backbones/unett.py:222-246`).
+
+UARCH = dataclasses.replace(ARCH, text_dim=None, conv_layers=0,
+                            text_mask_padding=False, pe_attn_head=1,
+                            dim_head=32, ff_mult=2)
+UARCH = dataclasses.replace(UARCH, depth=4)
+UARCH_SCAN = dataclasses.replace(UARCH, scan_layers=True)
+
+
+@pytest.fixture(scope="module")
+def unett_params():
+    from eraxvif5tts_tpu.models.unett import UNetT
+
+    u = UNetT(arch=UARCH, text_num_embeds=30, mel_dim=10)
+    x, cond, text, time = _inputs()
+    return u.init(jax.random.key(0), x, cond, text, time)["params"]
+
+
+def test_unett_scan_matches_unrolled(unett_params):
+    from eraxvif5tts_tpu.compression.convert import stack_unett_params
+    from eraxvif5tts_tpu.models.unett import UNetT
+
+    x, cond, text, time = _inputs()
+    u = UNetT(arch=UARCH, text_num_embeds=30, mel_dim=10)
+    s = UNetT(arch=UARCH_SCAN, text_num_embeds=30, mel_dim=10)
+    stacked = stack_unett_params(dict(unett_params))
+    out_u = u.apply({"params": unett_params}, x, cond, text, time)
+    out_s = s.apply({"params": stacked}, x, cond, text, time)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_s),
+                               rtol=0, atol=1e-5)
+
+
+def test_unett_stack_roundtrip_and_torch_export(unett_params):
+    from eraxvif5tts_tpu.compression.convert import (
+        stack_unett_params,
+        unstack_unett_params,
+    )
+
+    stacked = stack_unett_params(dict(unett_params))
+    assert "down_blocks" in stacked and "up_blocks" in stacked
+    assert "skip_proj" in stacked["up_blocks"]
+    assert "skip_proj" not in stacked["down_blocks"]
+    restored = unstack_unett_params(stacked)
+    flat_a = jax.tree_util.tree_flatten_with_path(dict(unett_params))[0]
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_b[path]))
+
+    sd_u = backbone_params_to_torch(dict(unett_params), "UNetT", UARCH.depth,
+                                    conv_layers=0)
+    sd_s = backbone_params_to_torch(stacked, "UNetT", UARCH.depth, conv_layers=0)
+    assert sd_u.keys() == sd_s.keys()
+    for k in sd_u:
+        np.testing.assert_array_equal(sd_u[k], sd_s[k])
+
+
+def test_unett_grads_match_unrolled(unett_params):
+    from eraxvif5tts_tpu.compression.convert import stack_unett_params
+    from eraxvif5tts_tpu.models.unett import UNetT
+
+    x, cond, text, time = _inputs()
+    u = UNetT(arch=UARCH, text_num_embeds=30, mel_dim=10)
+    s = UNetT(arch=UARCH_SCAN, text_num_embeds=30, mel_dim=10)
+    stacked = stack_unett_params(dict(unett_params))
+
+    def loss_u(p):
+        return jnp.mean(u.apply({"params": p}, x, cond, text, time) ** 2)
+
+    def loss_s(p):
+        return jnp.mean(s.apply({"params": p}, x, cond, text, time) ** 2)
+
+    g_u = stack_unett_params(dict(jax.grad(loss_u)(unett_params)))
+    g_s = jax.grad(loss_s)(stacked)
+    flat_u = jax.tree_util.tree_flatten_with_path(g_u)[0]
+    flat_s = dict(jax.tree_util.tree_flatten_with_path(g_s)[0])
+    for path, leaf in flat_u:
+        np.testing.assert_allclose(np.asarray(leaf), np.asarray(flat_s[path]),
+                                   rtol=0, atol=5e-5, err_msg=str(path))
