@@ -105,6 +105,41 @@ def main():
     report["generate_ms"] = round(float(np.median(times)) * 1e3, 1)
     report["host_prep_ms"] = round(report["generate_ms"]
                                    - report["device_plus_transfer_ms"], 1)
+
+    # (d) transport floor: fetch of a RESIDENT device buffer of the same size
+    # (no compute in the way) — the irreducible tunnel cost per request; plus
+    # a 2-byte fetch isolating the fixed round-trip from the per-byte part.
+    resident = jax.device_put(np.zeros(end - start, np.int16))
+    np.asarray(resident[:1])
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(resident)
+        times.append(time.perf_counter() - t0)
+    report["fetch_resident_ms"] = round(float(np.median(times)) * 1e3, 1)
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(resident[:1])
+        times.append(time.perf_counter() - t0)
+    report["fetch_2B_ms"] = round(float(np.median(times)) * 1e3, 1)
+
+    # (e) null-dispatch round trip: a trivial jitted op + tiny sync — the
+    # per-request dispatch RTT floor.
+    null = jax.jit(lambda x: x + 1)
+    np.asarray(null(resident[:8])[:1])
+    times = []
+    for _ in range(10):
+        t0 = time.perf_counter()
+        np.asarray(null(resident[:8])[:1])
+        times.append(time.perf_counter() - t0)
+    report["null_dispatch_ms"] = round(float(np.median(times)) * 1e3, 1)
+
+    # transport-floor closure: wall-over-device explained by transfer + prep
+    report["wall_minus_device_ms"] = round(
+        report["generate_ms"] - report["device_ms"], 1)
+    report["transport_floor_ms"] = round(
+        report["fetch_resident_ms"] + report["host_prep_ms"], 1)
     print(json.dumps(report))
 
 

@@ -330,12 +330,22 @@ def train_main(argv=None):
                    help="multi-host pod training: jax.distributed.initialize() "
                         "(coordinator from the standard JAX env / TPU metadata), "
                         "per-process batch striding, P('data') global batches")
+    p.add_argument("--scan-layers", action="store_true",
+                   help="compile the transformer stack as nn.scan bodies "
+                        "(fast-compile mode: O(1)-in-depth XLA work instead of "
+                        "O(depth); checkpoints stay in the per-block schema). "
+                        "Also settable as model.arch.scan_layers in the YAML.")
     args = p.parse_args(argv)
 
     if args.multihost:
         jax.distributed.initialize()
 
     cfg = load_yaml_config(args.config)
+    if args.scan_layers:
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, arch=dataclasses.replace(
+                    cfg.model.arch, scan_layers=True)))
     tokenizer_path = cfg.model.tokenizer_path or cfg.datasets.name
     vocab_char_map, vocab_size = get_tokenizer(
         tokenizer_path, cfg.model.tokenizer, base_data_path=args.data_dir
