@@ -128,7 +128,12 @@ def evaluate_arm(cfm, params, rows, vocab, seeds: int, steps: int,
                 "arm": arm, "utt": i, "seed": s,
                 "infill_mel_l1": round(
                     float(np.mean(np.abs(gen - tgt[:, : gen.shape[1]]))), 4),
-                "ltas_corr": round(ltas_corr(mel_np, full), 4),
+                # gen-region LTAS is the discriminating spectral metric: the
+                # full-mel variant is inflated by the pasted-back real prompt
+                # (half the frames), so even random weights score ~0.97 there
+                "ltas_corr_gen": round(
+                    ltas_corr(gen, tgt[:, : gen.shape[1]]), 4),
+                "ltas_corr_full": round(ltas_corr(mel_np, full), 4),
             }
             if save_dir is not None and s == 0:
                 os.makedirs(save_dir, exist_ok=True)
@@ -148,7 +153,8 @@ def _mean_sd(vals) -> dict:
 def _summarize(cells: list[dict]) -> dict:
     return {
         "infill_mel_l1": _mean_sd([c["infill_mel_l1"] for c in cells]),
-        "ltas_corr": _mean_sd([c["ltas_corr"] for c in cells]),
+        "ltas_corr_gen": _mean_sd([c["ltas_corr_gen"] for c in cells]),
+        "ltas_corr_full": _mean_sd([c["ltas_corr_full"] for c in cells]),
     }
 
 
@@ -205,6 +211,14 @@ def run(argv=None) -> dict:
     ap.add_argument("--preset", default="F5TTS_v1_Base")
     ap.add_argument("--out-dir", default="benchmarks/artifacts/infill_eval")
     ap.add_argument("--cpu", action="store_true")
+    # arch overrides over the preset (smoke-testing the battery with tiny
+    # checkpoints on CPU; depth always comes from the checkpoint itself)
+    ap.add_argument("--dim", type=int, default=None)
+    ap.add_argument("--heads", type=int, default=None)
+    ap.add_argument("--dim-head", type=int, default=None)
+    ap.add_argument("--ff-mult", type=int, default=None)
+    ap.add_argument("--text-dim", type=int, default=None)
+    ap.add_argument("--conv-layers", type=int, default=None)
     args = ap.parse_args(argv)
 
     import jax
@@ -219,6 +233,14 @@ def run(argv=None) -> dict:
     from eraxvif5tts_tpu.ops.stft import MelSpectrogram
 
     cfg = PRESETS[args.preset]
+    overrides = {k: getattr(args, k) for k in
+                 ("dim", "heads", "dim_head", "ff_mult", "text_dim",
+                  "conv_layers") if getattr(args, k) is not None}
+    if overrides:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, arch=dataclasses.replace(cfg.arch, **overrides))
     mel_cfg = cfg.mel_spec
     mel_spec = MelSpectrogram(
         n_fft=mel_cfg.n_fft, hop_length=mel_cfg.hop_length,

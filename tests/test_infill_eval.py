@@ -44,7 +44,7 @@ def test_evaluate_arm_grid(tiny_arm, tmp_path):
     assert {(c["utt"], c["seed"]) for c in cells} == {(0, 0), (0, 1), (1, 0), (1, 1)}
     for c in cells:
         assert np.isfinite(c["infill_mel_l1"])
-        assert -1.0 <= c["ltas_corr"] <= 1.0
+        assert -1.0 <= c["ltas_corr_gen"] <= 1.0 and -1.0 <= c["ltas_corr_full"] <= 1.0
     # seed 0 mels saved for inspection
     assert (tmp_path / "t_utt0.npy").exists()
     assert (tmp_path / "t_utt1.npy").exists()
