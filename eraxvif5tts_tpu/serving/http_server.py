@@ -404,19 +404,36 @@ def main():
     ap.add_argument("--smoke", action="store_true", help="tiny random model (demo/CI)")
     ap.add_argument("--warmup", action="store_true",
                     help="pre-compile the duration-bucket ladder before serving")
+    ap.add_argument("--scan-layers", action="store_true",
+                    help="serve the scan-over-layers model form: one compiled "
+                         "block body instead of `depth` copies — cuts cold-start "
+                         "compile (incl. --warmup ladder) at the cost of the "
+                         "scan-vs-unrolled steady-state delta (BASELINE.md)")
     args = ap.parse_args()
 
     if args.smoke:
         from eraxvif5tts_tpu.configs import ArchConfig, ModelConfig
 
         cfg = ModelConfig(arch=ArchConfig(dim=64, depth=2, heads=2, dim_head=32,
-                                          text_dim=32, conv_layers=1, dropout=0.0))
+                                          text_dim=32, conv_layers=1, dropout=0.0,
+                                          scan_layers=args.scan_layers))
         vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!?àáâãèéêìíòóôõùúýăđĩũơưạảấầẩẫậắằẳẵặẹẻẽếềểễệỉịọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹ")}
         wrapper = F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, nfe_step=4,
                                duration_buckets=(128, 256), text_buckets=(128,))
     else:
+        model_cfg = None
+        if args.scan_layers:
+            import dataclasses
+
+            from eraxvif5tts_tpu.configs import PRESETS
+
+            base = PRESETS[args.model]
+            model_cfg = dataclasses.replace(
+                base, arch=dataclasses.replace(base.arch, scan_layers=True))
         wrapper = F5TTSWrapper(
-            model_name=args.model, ckpt_path=args.ckpt, vocab_file=args.vocab,
+            model_name=None if model_cfg is not None else args.model,
+            model_cfg=model_cfg,
+            ckpt_path=args.ckpt, vocab_file=args.vocab,
             vocoder_ckpt_path=args.vocoder_ckpt,
         )
     config = ServerConfig(host=args.host, port=args.port, model_name=args.model,
