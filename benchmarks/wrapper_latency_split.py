@@ -23,18 +23,27 @@ from wrapper_rtf import make_checkpoint  # noqa: E402  (same dir)
 
 
 def main():
+    import argparse
+
     import jax
 
     from eraxvif5tts_tpu.infer.utils import pick_bucket
     from eraxvif5tts_tpu.infer.wrapper import VOCODE_MARGIN_FRAMES, F5TTSWrapper
     from eraxvif5tts_tpu.text.tokenizer import list_str_to_idx
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="F5TTS_v1_Base",
+                    help="preset (E2TTS_Base closes the UNetT wall-vs-device gap)")
+    ap.add_argument("--dtype", default="bfloat16",
+                    choices=["bfloat16", "int8", "float32"])
+    args = ap.parse_args()
+
     vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!?'\"-")}
     with tempfile.TemporaryDirectory() as td:
         ckpt = os.path.join(td, "model_ema.pt")
-        make_checkpoint(ckpt)
-        wrapper = F5TTSWrapper(model_name="F5TTS_v1_Base", ckpt_path=ckpt,
-                               vocab_char_map=vocab, compute_dtype="bfloat16")
+        make_checkpoint(ckpt, args.model)
+        wrapper = F5TTSWrapper(model_name=args.model, ckpt_path=ckpt,
+                               vocab_char_map=vocab, compute_dtype=args.dtype)
 
     sr = wrapper.target_sample_rate
     t = np.arange(int(sr * 3.0)) / sr
@@ -72,7 +81,8 @@ def main():
     np.asarray(pcm[:1, :1])
 
     print("compiled", file=sys.stderr, flush=True)
-    report = {"bucket": bucket, "duration_frames": int(duration)}
+    report = {"model": args.model, "dtype": args.dtype, "bucket": bucket,
+              "duration_frames": int(duration)}
 
     # (a) dispatch + device compute, 2-byte sync transfer
     times = []
