@@ -169,13 +169,16 @@ def main():
     ap.add_argument("--ref_text", default="")
     ap.add_argument("--model", default="F5TTS_v1_Base")
     ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--scan-layers", action="store_true",
+                    help="serve the scan-over-layers model form (fast cold start)")
     args = ap.parse_args()
 
     if args.smoke:
         from eraxvif5tts_tpu.configs import ArchConfig, ModelConfig
 
         cfg = ModelConfig(arch=ArchConfig(dim=64, depth=2, heads=2, dim_head=32,
-                                          text_dim=32, conv_layers=1, dropout=0.0))
+                                          text_dim=32, conv_layers=1, dropout=0.0,
+                                          scan_layers=args.scan_layers))
         vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!?-")}
         wrapper = F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, nfe_step=4,
                                duration_buckets=(128, 256), text_buckets=(128,))
@@ -186,8 +189,19 @@ def main():
         processor = TTSStreamingProcessor(wrapper, ref_state=state, nfe_step=4,
                                           output_file=None)
     else:
-        wrapper = F5TTSWrapper(model_name=args.model, ckpt_path=args.ckpt_file,
-                               vocab_file=args.vocab_file)
+        model_cfg = None
+        if args.scan_layers:
+            import dataclasses
+
+            from eraxvif5tts_tpu.configs import PRESETS
+
+            base = PRESETS[args.model]
+            model_cfg = dataclasses.replace(
+                base, arch=dataclasses.replace(base.arch, scan_layers=True))
+        wrapper = F5TTSWrapper(
+            model_name=None if model_cfg is not None else args.model,
+            model_cfg=model_cfg,
+            ckpt_path=args.ckpt_file, vocab_file=args.vocab_file)
         processor = TTSStreamingProcessor(wrapper, ref_audio=args.ref_audio,
                                           ref_text=args.ref_text)
     start_server(args.host, args.port, processor)

@@ -235,3 +235,26 @@ def test_http_speaker_alias_and_crossfade(http_port):
                  body=json.dumps({"text": "x", "speaker": "missing"}),
                  headers={"content-type": "application/json"})
     assert conn.getresponse().status == 404
+
+
+def test_socket_processor_streams_with_scan_form():
+    """The socket streaming path serves a scan_layers model identically in
+    protocol terms (chunks + END)."""
+    cfg = ModelConfig(arch=ArchConfig(dim=32, depth=2, heads=2, dim_head=16,
+                                      text_dim=16, conv_layers=0, dropout=0.0,
+                                      scan_layers=True))
+    vocab = {c: i for i, c in enumerate(" abcdefghijklmnopqrstuvwxyz.,!?")}
+    w = F5TTSWrapper(model_cfg=cfg, vocab_char_map=vocab, nfe_step=2,
+                     duration_buckets=(64, 128), text_buckets=(64,))
+    assert "blocks" in w.params
+    t = np.arange(SR // 4) / SR
+    wav = (0.2 * np.sin(2 * np.pi * 150 * t)).astype(np.float32)
+    state = w.preprocess_reference(ref_audio=wav, ref_sample_rate=SR,
+                                   ref_text="hello ref")
+    proc = TTSStreamingProcessor(w, ref_state=state, nfe_step=2, output_file=None)
+    chunks = []
+    proc.generate_stream("a scan form test.", chunks.append)
+    assert chunks and chunks[-1] == b"END"
+    pcm = b"".join(c for c in chunks[:-1])
+    assert len(pcm) > 0 and len(pcm) % 4 == 0  # float32 frames
+    assert np.isfinite(np.frombuffer(pcm, np.float32)).all()
