@@ -121,13 +121,20 @@ class JointAttention(nn.Module):
             cq = apply_rotary(cq.swapaxes(1, 2), c_rope).swapaxes(1, 2)
             ck = apply_rotary(ck.swapaxes(1, 2), c_rope).swapaxes(1, 2)
 
-        q = jnp.concatenate([q, cq], axis=1)
-        k = jnp.concatenate([k, ck], axis=1)
-        v = jnp.concatenate([v, cv], axis=1)
+        # TEXT-FIRST joint order (the reference concatenates audio first,
+        # `modules.py:560-566`; softmax attention is permutation-equivariant
+        # over keys and the rotary phases ride each stream's own positions, so
+        # the order is free) — it makes the joint validity mask a CONTIGUOUS
+        # PREFIX ([all-valid text | prefix-valid audio]), which is what the
+        # one-shot serving kernel requires to engage on TPU
+        # (ops/attention.use_serving_kernel: prefix_key_mask).
+        q = jnp.concatenate([cq, q], axis=1)
+        k = jnp.concatenate([ck, k], axis=1)
+        v = jnp.concatenate([cv, v], axis=1)
 
         key_valid = None
         if mask is not None:
-            key_valid = jnp.pad(mask, ((0, 0), (0, nt)), constant_values=True)
+            key_valid = jnp.pad(mask, ((0, 0), (nt, 0)), constant_values=True)
 
         if not deterministic and self.dropout > 0.0:
             # attention-weight dropout on the train path (`modules.py:582`)
@@ -136,10 +143,14 @@ class JointAttention(nn.Module):
                 dropout_rng=self.make_rng("dropout"),
             )
         else:
+            # masks reaching MMDiT are always frame prefix masks (CFM.sample's
+            # lens_to_mask; CFM.loss passes none), so the text-first joint
+            # mask is a contiguous prefix
             out = dot_product_attention(q, k, v, key_valid=key_valid,
-                                        trainable=not deterministic)
+                                        trainable=not deterministic,
+                                        prefix_key_mask=True)
         out = out.reshape(b, n + nt, inner)
-        x_out, c_out = out[:, :n], out[:, n:]
+        c_out, x_out = out[:, :nt], out[:, nt:]
 
         x_out = dense(self.dim, dtype=self.dtype, name="to_out")(x_out)
         if not deterministic and self.dropout > 0.0:

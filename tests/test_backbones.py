@@ -141,3 +141,58 @@ def test_e2tts_preset_builds():
     )
     n = sum(int(np.prod(s.shape)) for s in jax.tree.leaves(shapes))
     assert n > 50e6  # E2TTS_Small ~ 150M
+
+
+def test_joint_order_permutation_equivalence():
+    """The property the round-5 text-first reorder relies on: attention over
+    [text|audio] with a prefix mask equals attention over [audio|text] with
+    the equivalent (non-prefix) mask, outputs permuted back."""
+    from eraxvif5tts_tpu.ops.attention import dot_product_attention
+
+    rng = np.random.default_rng(0)
+    b, nt, n, h, d = 2, 3, 12, 2, 16
+    cq, ck, cv = (jnp.asarray(rng.standard_normal((b, nt, h, d)), jnp.float32)
+                  for _ in range(3))
+    q, k, v = (jnp.asarray(rng.standard_normal((b, n, h, d)), jnp.float32)
+               for _ in range(3))
+    amask = jnp.asarray([[True] * 8 + [False] * 4] * b)
+
+    # text-first (current implementation): prefix mask
+    kv_tf = jnp.pad(amask, ((0, 0), (nt, 0)), constant_values=True)
+    out_tf = dot_product_attention(
+        jnp.concatenate([cq, q], 1), jnp.concatenate([ck, k], 1),
+        jnp.concatenate([cv, v], 1), key_valid=kv_tf, prefix_key_mask=True)
+
+    # audio-first (reference order, `modules.py:560-566`): suffix-True mask
+    kv_af = jnp.pad(amask, ((0, 0), (0, nt)), constant_values=True)
+    out_af = dot_product_attention(
+        jnp.concatenate([q, cq], 1), jnp.concatenate([k, ck], 1),
+        jnp.concatenate([v, cv], 1), key_valid=kv_af)
+
+    np.testing.assert_allclose(np.asarray(out_tf[:, :nt]),
+                               np.asarray(out_af[:, n:]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_tf[:, nt:]),
+                               np.asarray(out_af[:, :n]), rtol=1e-5, atol=1e-6)
+
+
+def test_mmdit_mask_padding_invariance():
+    """Padded-audio masked forward vs truncated-audio forward on the valid
+    frames. NOT exact: the audio ConvPositionEmbedding runs unmasked (parity
+    with reference `mmdit.py:67-80`), leaking ~1e-3-scale signal across the
+    padding boundary at 0.02-scale weights — the tolerance documents that
+    pre-existing leak; a mask-placement bug after the round-5 text-first
+    reorder would blow past it by orders of magnitude."""
+    m = MMDiT(arch=ARCH_M, text_num_embeds=8, mel_dim=MEL)
+    x, cond, text, time = _inputs()
+    params = jax.jit(m.init)(jax.random.key(1), x, cond, text, time)["params"]
+    params = jax.tree.map(
+        lambda p: jax.random.normal(jax.random.key(5), p.shape) * 0.02, params
+    )
+    n_valid = 8
+    mask = jnp.asarray([[True] * n_valid + [False] * (x.shape[1] - n_valid)] * x.shape[0])
+    apply = jax.jit(lambda *a, **k: m.apply({"params": params}, *a, **k))
+    out_padded = apply(x, cond, text, time, mask=mask)
+    out_trunc = apply(x[:, :n_valid], cond[:, :n_valid], text, time,
+                      mask=jnp.ones((x.shape[0], n_valid), bool))
+    np.testing.assert_allclose(np.asarray(out_padded[:, :n_valid]),
+                               np.asarray(out_trunc), atol=5e-3)
