@@ -29,6 +29,15 @@ run scan_ab_serve 3600 python benchmarks/scan_compile_bench.py --what serve --it
 run bwd_sweep 5400 python benchmarks/train_attn_bwd_sweep.py --n 4096 --b 9 --reps 6
 run wrapper_rtf_mmdit 3600 python benchmarks/wrapper_rtf.py --model F5TTS_v1_MMDiT
 run first_chunk 1800 python benchmarks/first_chunk_latency.py
+# /tmp is wiped between sessions — regenerate the trained teacher (800 updates
+# on the real corpus) and the distilled 12L student before the infill battery.
+[ -f /tmp/trained_flagship.safetensors ] || \
+  run train_flagship 3600 python scripts/convergence_real.py \
+    --preset F5TTS_v1_Base --updates 800 \
+    --export /tmp/trained_flagship.safetensors
+[ -f /tmp/distilled_student12.safetensors ] || \
+  run distill_student 3600 python scripts/distill_real.py \
+    --teacher-ckpt /tmp/trained_flagship.safetensors
 run infill_eval 7200 python -m eraxvif5tts_tpu.eval infill \
   --teacher /tmp/trained_flagship.safetensors \
   --student /tmp/distilled_student12.safetensors \
