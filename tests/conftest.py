@@ -9,7 +9,15 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA's in-process CPU communicator SIGABRTs the whole pytest process if one
+# virtual-device thread misses a collective rendezvous by 40 s — on a 1-core
+# host any concurrent load (a tunnel probe, a background compile) can starve a
+# thread that long. Same guard as __graft_entry__.dryrun_multichip.
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    flags = (flags + " --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+             " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax  # noqa: E402
 

@@ -259,3 +259,28 @@ def test_tp_resume_restores_optimizer_shardings(tmp_path):
     # one donated step runs on the restored state without error
     restored, metrics = trainer2.train_step(restored, _batch(8), jax.random.key(4))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_init_state_lazy_opt_shardings_and_ema_zeros():
+    """init_state's plain-jit opt init (lazy zero buffers) must still land every
+    moment leaf on its intended TP layout, and ema_init='zeros' must converge
+    to the exact 'copy' EMA after one applied update (take_copy semantics)."""
+    mesh = make_mesh(n_model=2)
+    dit = DiT(arch=ARCH, text_num_embeds=8, mel_dim=8)
+    trainer = Trainer(cfm=CFM(transformer=dit),
+                      optimizer=make_optimizer(total_updates=10), mesh=mesh)
+    s_copy = trainer.init_state(jax.random.key(0))
+    s_zero = trainer.init_state(jax.random.key(0), ema_init="zeros")
+    intended = jax.tree.leaves(trainer._opt_state_shardings(s_copy.params))
+    for leaf, sh in zip(jax.tree.leaves(s_copy.opt_state), intended):
+        assert leaf.sharding.is_equivalent_to(sh, leaf.ndim), (leaf.sharding, sh)
+    from jax.sharding import PartitionSpec as P
+
+    assert any(getattr(x.sharding, "spec", P()) != P()
+               for x in jax.tree.leaves(s_copy.opt_state))
+    batch = _batch(8)
+    s_copy, _ = trainer.train_step(s_copy, batch, jax.random.key(1))
+    s_zero, _ = trainer.train_step(s_zero, batch, jax.random.key(1))
+    for a, c in zip(jax.tree.leaves(s_copy.ema_params),
+                    jax.tree.leaves(s_zero.ema_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
