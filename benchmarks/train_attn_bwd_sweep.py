@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--full-grid", action="store_true",
                     help="sweep all 4-tuples instead of the paired "
                          "(dq)=(dkv) diagonal + single-knob deviations")
+    ap.add_argument("--configs", nargs="+", default=None,
+                    help="explicit bq_dq,bk_dq,bk_dkv,bq_dkv quadruples "
+                         "(comma-separated); replaces the generated grid")
     args = ap.parse_args()
 
     import jax
@@ -104,7 +107,9 @@ def main():
                       "error": err}), flush=True)
 
     cands = [blk for blk in args.blocks if n % blk == 0]
-    if args.full_grid:
+    if args.configs:
+        grid = [tuple(int(x) for x in c.split(",")) for c in args.configs]
+    elif args.full_grid:
         grid = list(itertools.product(cands, repeat=4))
     else:
         grid = [(x, x, x, x) for x in cands]

@@ -82,6 +82,21 @@ def _block(n: int, cap: int = 512) -> int:
     return n
 
 
+def _bwd_default_blocks(n: int) -> tuple[int, int, int, int]:
+    """Calibrated backward block layout (bq_dq, bk_dq, bk_dkv, bq_dkv).
+
+    TPU v5e sweep at the training length (benchmarks/train_attn_bwd_sweep.py,
+    n=4096 b=9h16d64): dq512x256_dkv512x512 measured 24.1 ms vs the square-512
+    default's 25.7 ms (2.01x vs 2.14x forward) — a narrower dq key block keeps
+    the dq kernel's K/V tiles smaller in VMEM per inner-loop step. Square
+    256 came second (24.6 ms); every dkv deviation measured worse. Only
+    proven at long n; short lengths keep the square layout.
+    """
+    base = _block(n)
+    bk_dq = 256 if n >= 2048 and n % 256 == 0 else base
+    return base, bk_dq, base, base
+
+
 # ---------------------------------------------------------------------------
 # forward
 
@@ -304,7 +319,7 @@ def _train_attention_bwd(keep, masked, interpret, bwd_blocks, res, do):
         for blk in bwd_blocks:
             assert n % blk == 0, (n, bwd_blocks)
     else:
-        bq_dq = bk_dq = bk_dkv = bq_dkv = _block(n)
+        bq_dq, bk_dq, bk_dkv, bq_dkv = _bwd_default_blocks(n)
     bq = bq_dq
     bk = bk_dq
     scale = 1.0 / math.sqrt(d)

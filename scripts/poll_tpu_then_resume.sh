@@ -6,7 +6,7 @@
 set -u
 LOG=/tmp/tpu_poll.log
 OUT=/tmp/tpu_battery_r5
-STEPS="wrapper_rtf_e2tts_int8 latency_split_e2tts scan_ab_serve bwd_sweep wrapper_rtf_mmdit first_chunk infill_eval scan_ab_train"
+STEPS="wrapper_rtf_e2tts_int8 latency_split_e2tts scan_ab_serve bwd_sweep bwd_sweep2 train_step_new_bwd train_step_decompose_new wrapper_rtf_mmdit first_chunk infill_eval scan_ab_train"
 echo "poll start $(date)" >> "$LOG"
 while true; do
   all_done=1

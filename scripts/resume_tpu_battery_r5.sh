@@ -25,6 +25,10 @@ run wrapper_rtf_e2tts_int8 3000 python benchmarks/wrapper_rtf.py --model E2TTS_B
 run latency_split_e2tts 3000 python benchmarks/wrapper_latency_split.py --model E2TTS_Base --dtype int8
 run scan_ab_serve 3600 python benchmarks/scan_compile_bench.py --what serve --iters 3
 run bwd_sweep 5400 python benchmarks/train_attn_bwd_sweep.py --n 4096 --b 9 --reps 6
+run bwd_sweep2 2400 python benchmarks/train_attn_bwd_sweep.py --n 4096 --b 9 --reps 6 \
+  --configs 512,256,256,256 512,256,256,512 512,256,512,256
+run train_step_new_bwd 2400 python benchmarks/train_step_bench.py --steps 6
+run train_step_decompose_new 3000 python benchmarks/train_step_decompose.py
 run wrapper_rtf_mmdit 3600 python benchmarks/wrapper_rtf.py --model F5TTS_v1_MMDiT
 run first_chunk 1800 python benchmarks/first_chunk_latency.py
 [ -f /tmp/trained_flagship.safetensors ] || \

@@ -137,3 +137,20 @@ def test_bwd_blocks_override_grads_identical():
     for a, b_ in zip(g_def, g_alt):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=0, atol=2e-4)
+
+
+def test_bwd_default_blocks_calibration():
+    """The backward default block layout follows the round-5 TPU sweep: at the
+    training length the dq kernel's key block narrows to 256; short and
+    non-divisible lengths keep the square _block(n) layout."""
+    from eraxvif5tts_tpu.ops.train_attention import _block, _bwd_default_blocks
+
+    assert _bwd_default_blocks(4096) == (512, 256, 512, 512)
+    assert _bwd_default_blocks(2048) == (512, 256, 512, 512)
+    # short sequences: square layout unchanged
+    assert _bwd_default_blocks(1024) == (512, 512, 512, 512)
+    assert _bwd_default_blocks(256) == (256, 256, 256, 256)
+    # lengths where 256 does not divide n fall back to square _block(n)
+    n = 2688  # 21*128: divisible by 128/384, not by 256
+    b = _block(n)
+    assert _bwd_default_blocks(n) == (b, b, b, b)
