@@ -251,9 +251,10 @@ PRESETS: dict[str, ModelConfig] = {
     # reference `backbones/mmdit.py:85-189`). The reference ships no MMDiT
     # YAML; this preset exists so the third backbone has a servable config
     # and a recorded perf row (`benchmarks/wrapper_rtf.py --model
-    # F5TTS_v1_MMDiT`). Joint attention runs over [audio|text] with a
-    # non-prefix validity mask, so it rides the flash/XLA attention path,
-    # not the one-shot serving kernel (ops/attention.use_serving_kernel).
+    # F5TTS_v1_MMDiT`). Joint attention concatenates TEXT-FIRST
+    # (models/mmdit.py JointAttention) so the joint validity mask is a
+    # contiguous prefix and the one-shot serving kernel engages on TPU at
+    # 64-aligned joint lengths (ops/attention.use_serving_kernel).
     "F5TTS_v1_MMDiT": ModelConfig(
         name="F5TTS_v1_MMDiT",
         backbone="MMDiT",
