@@ -107,7 +107,13 @@ def bench_train(form: str, scan: bool, batch: int, frames: int, iters: int) -> d
     cfg = dataclasses.replace(cfg, arch=dataclasses.replace(
         cfg.arch, scan_layers=scan, checkpoint_activations=True,
         remat_policy=policy))
-    dit = build_backbone(cfg, text_num_embeds=2546)
+    # production training recipe is bfloat16 compute (ModelConfig.compute_dtype
+    # default; train CLI passes it through) — and the flash train kernel's VMEM
+    # stack only fits at n=4096 in bf16 (see ops/train_attention.py
+    # can_use_train_kernel)
+    import jax.numpy as jnp
+
+    dit = build_backbone(cfg, text_num_embeds=2546, compute_dtype=jnp.bfloat16)
     cfm = CFM.build(dit, cfg.mel_spec)
     trainer = Trainer(cfm=cfm, optimizer=make_optimizer(total_updates=1000))
 

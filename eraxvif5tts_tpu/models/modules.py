@@ -406,7 +406,7 @@ class Attention(nn.Module):
                 train_attention,
             )
 
-            if _on_tpu() and can_use_train_kernel(n, self.dim_head):
+            if _on_tpu() and can_use_train_kernel(n, self.dim_head, q.dtype):
                 out = train_attention(
                     q, k, v, key_valid=mask, dropout_rate=self.dropout,
                     dropout_rng=self.make_rng("dropout"),

@@ -390,8 +390,22 @@ def _train_attention_bwd(keep, masked, interpret, bwd_blocks, res, do):
 _train_attention.defvjp(_train_attention_fwd, _train_attention_bwd)
 
 
-def can_use_train_kernel(n: int, d: int) -> bool:
-    return n % 128 == 0 and n >= 128 and d in (64, 128)
+def can_use_train_kernel(n: int, d: int, dtype=None) -> bool:
+    """Shape/dtype gate for the flash train kernel.
+
+    The forward kernel unrolls its k-loop (n//bk iterations), so its Mosaic
+    VMEM stack grows with n and with the operand itemsize: measured on v5e at
+    n=4096 d=64, float32 operands demand 21.2 MB scoped VMEM vs the 16 MB
+    limit (compile failure), while bfloat16 fits. Production training runs
+    bfloat16 compute (`configs.ModelConfig.compute_dtype`); float32 callers
+    are gated to n<=3072 (= 4096 * 16/21.2, rounded down to a block multiple)
+    and fall back to the chunked online-softmax path above that.
+    """
+    if not (n % 128 == 0 and n >= 128 and d in (64, 128)):
+        return False
+    if dtype is not None and jnp.dtype(dtype).itemsize >= 4 and n > 3072:
+        return False
+    return True
 
 
 def train_attention(
@@ -412,7 +426,7 @@ def train_attention(
     kernels' block shapes (each must divide n); None = calibrated default.
     """
     b, n, h, d = q.shape
-    assert can_use_train_kernel(n, d), (n, d)
+    assert can_use_train_kernel(n, d, q.dtype), (n, d, q.dtype)
     keep = 1.0 - dropout_rate
     if dropout_rate > 0.0:
         assert dropout_rng is not None

@@ -154,3 +154,16 @@ def test_bwd_default_blocks_calibration():
     n = 2688  # 21*128: divisible by 128/384, not by 256
     b = _block(n)
     assert _bwd_default_blocks(n) == (b, b, b, b)
+
+
+def test_dtype_gate_fp32_long_n():
+    """float32 operands at n=4096 measured 21.2 MB scoped VMEM on v5e (limit
+    16 MB, compile failure); the gate must refuse them and keep bf16 + short
+    fp32 lengths (the production bf16 recipe and every CPU-interpret test)."""
+    from eraxvif5tts_tpu.ops.train_attention import can_use_train_kernel
+
+    assert can_use_train_kernel(4096, 64, jnp.bfloat16)
+    assert not can_use_train_kernel(4096, 64, jnp.float32)
+    assert can_use_train_kernel(3072, 64, jnp.float32)
+    assert can_use_train_kernel(4096, 64)  # dtype unknown: shape-only gate
+    assert not can_use_train_kernel(4100, 64, jnp.bfloat16)
