@@ -80,7 +80,9 @@ def param_shardings(mesh: Mesh, params: Any, use_tp: bool = True) -> Any:
         if not use_tp or mesh.shape.get("model", 1) == 1:
             return NamedSharding(mesh, P())
         spec = param_sharding_rules(_path_str(key_path))
-        dims = np.asarray(leaf).shape if hasattr(leaf, "shape") else ()
+        # leaf.shape directly (not np.asarray): this must also work on traced
+        # values so shardings can be derived inside jit (zero1 constraints)
+        dims = tuple(leaf.shape) if hasattr(leaf, "shape") else np.asarray(leaf).shape
         # scan_layers stacks per-block params with a leading [depth] axis
         # (path `blocks/...` instead of `block_N/...`); the 2-D kernel rules
         # then apply to axes 1.. — replicate the depth axis.
@@ -93,6 +95,40 @@ def param_shardings(mesh: Mesh, params: Any, use_tp: bool = True) -> Any:
         return NamedSharding(mesh, spec)
 
     return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def zero1_shardings(mesh: Mesh, params: Any, use_tp: bool = True) -> Any:
+    """ZeRO-1-style shardings for param-SHAPED optimizer/EMA state.
+
+    Each leaf takes its param's TP spec and additionally shards the first
+    free (unclaimed, divisible) dimension over ``data`` — so AdamW moments
+    and the EMA tree are fully distributed across the mesh instead of
+    replicated per data shard. GSPMD then partitions the optimizer update
+    over ``data`` for free (each rank updates only its slice; the param
+    add all-gathers the slices over ICI): the standard JAX formulation of
+    ZeRO-1 / optimizer-state sharding, by annotation only — no step-logic
+    changes (reference equivalent being distributed: the per-rank replicated
+    optimizer of `src/f5_tts/model/trainer.py` DDP training). On the
+    flagship (335.9M params, fp32 moments) this frees ~2 GB of HBM per chip
+    at DP=4. Leaves with no divisible free dim stay on their param spec.
+    """
+    data = mesh.shape.get("data", 1)
+    base = param_shardings(mesh, params, use_tp=use_tp)
+    if data == 1:
+        return base
+
+    def add_data(leaf, s):
+        dims = tuple(leaf.shape) if hasattr(leaf, "shape") else ()
+        if not dims:
+            return s
+        spec = list(s.spec) + [None] * (len(dims) - len(s.spec))
+        for i, dim in enumerate(dims):
+            if spec[i] is None and dim % data == 0 and dim >= data:
+                spec[i] = "data"
+                return NamedSharding(mesh, P(*spec))
+        return s
+
+    return jax.tree.map(add_data, params, base)
 
 
 def shard_params(mesh: Mesh, params: Any, use_tp: bool = True) -> Any:

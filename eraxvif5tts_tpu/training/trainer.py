@@ -52,6 +52,7 @@ from eraxvif5tts_tpu.parallel.mesh import (
     param_shardings,
     replicated,
     shard_params,
+    zero1_shardings,
 )
 
 
@@ -252,6 +253,15 @@ class Trainer:
     cfm: CFM
     optimizer: optax.GradientTransformation
     mesh: Any = None
+    # ZeRO-1 / optimizer-state sharding (annotation-only, parallel/mesh.py
+    # zero1_shardings): AdamW moments + the EMA tree are distributed over the
+    # ``data`` mesh axis instead of replicated per data shard; GSPMD partitions
+    # the optimizer/EMA update over ``data`` and all-gathers the param delta
+    # over ICI. Matches the replicated layout to reassociation level (<1e-15,
+    # tests/test_multichip.py); frees
+    # ~2 GB/chip of HBM on the flagship at DP=4. Off by default: single-chip
+    # meshes gain nothing and checkpointed state keeps the round-3 layout.
+    zero1: bool = False
     ema_decay: float = 0.9999
     ema_update_after_step: int = 100
     ema_update_every: int = 10
@@ -335,14 +345,20 @@ class Trainer:
         holding 2x-params of fp32 moments plus a reshard on the first step.
         Param-shaped leaves are recognized by their trailing dict path (the
         param address inside the state tree) plus a shape match.
+
+        With ``zero1=True`` the param-shaped leaves take the ZeRO-1 layout
+        (TP spec + first free dim sharded over ``data``) instead of the
+        params' own TP spec.
         """
         import jax.tree_util as jtu
 
+        base = (zero1_shardings if self.zero1 else param_shardings)(
+            self.mesh, params)
         pshard = {
             jtu.keystr(path): (s, tuple(leaf.shape))
             for (path, leaf), s in zip(
                 jtu.tree_leaves_with_path(params),
-                jax.tree.leaves(param_shardings(self.mesh, params)),
+                jax.tree.leaves(base),
             )
         }
         rep = replicated(self.mesh)
@@ -387,16 +403,27 @@ class Trainer:
         # the params' TP layout into the moments — leaves whose propagated
         # sharding misses the intended layout (`_opt_state_shardings`) get a
         # targeted device_put; only those leaves materialize.
-        opt_state = jax.jit(self._opt.init)(params)
+        #
+        # Under zero1 EVERY param-shaped leaf needs redistribution, so the
+        # per-leaf device_put path degenerates (hundreds of eager dispatches);
+        # there the out_shardings form wins: one program whose sharded outputs
+        # make each device write only its 1/(data*model) slice of zeros —
+        # total bytes written equal ONE params-worth ×2, not ×2×data.
+        if self.zero1:
+            opt_state = jax.jit(
+                self._opt.init,
+                out_shardings=self._opt_state_shardings(params))(params)
+        else:
+            opt_state = jax.jit(self._opt.init)(params)
 
-        def _fix(x, s):
-            if hasattr(x, "sharding") and x.sharding.is_equivalent_to(
-                    s, getattr(x, "ndim", 0)):
-                return x
-            return jax.device_put(x, s)
+            def _fix(x, s):
+                if hasattr(x, "sharding") and x.sharding.is_equivalent_to(
+                        s, getattr(x, "ndim", 0)):
+                    return x
+                return jax.device_put(x, s)
 
-        opt_state = jax.tree.map(_fix, opt_state,
-                                 self._opt_state_shardings(params))
+            opt_state = jax.tree.map(_fix, opt_state,
+                                     self._opt_state_shardings(params))
         dur_params = dur_align = dur_opt = None
         if self.duration_predictor is not None:
             if dur_pred_params is None:
@@ -409,18 +436,20 @@ class Trainer:
             # (`trainer.py:246-276`)
             dur_align = jax.tree.map(jnp.copy, dur_pred_params)
             dur_opt = jax.jit(self._dur_optimizer.init)(dur_params)
+        eshard = (zero1_shardings if self.zero1 else param_shardings)(
+            self.mesh, params)
         if ema_init == "zeros":
-            pshard = param_shardings(self.mesh, params)
             shapes = jax.eval_shape(lambda p: p, params)
             ema = jax.jit(
                 lambda: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes),
-                out_shardings=pshard,
+                out_shardings=eshard,
             )()
         else:
             # one jitted program (sharding-preserving), not ~500 eager per-leaf
             # dispatches (each ~20 ms un-jitted on a 1-core host / ~27 ms of
             # tunnel RTT on the v5e)
-            ema = jax.jit(lambda p: jax.tree.map(jnp.copy, p))(params)
+            ema = jax.jit(lambda p: jax.tree.map(jnp.copy, p),
+                          out_shardings=eshard)(params)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -472,12 +501,33 @@ class Trainer:
                 return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            if self.zero1:
+                # Scatter the grads into the ZeRO-1 layout BEFORE the norm /
+                # clip / AdamW chain: the DP gradient all-reduce lowers to a
+                # reduce-scatter over `data`, and every downstream param-sized
+                # op (global-norm reads, clip scale, moment update) runs on
+                # 1/data-sized slices. Together with the all-gather pinned on
+                # new_params below this is the standard ZeRO gradient path:
+                # reduce-scatter(grads) -> sharded update -> all-gather(params).
+                grads = jax.lax.with_sharding_constraint(
+                    grads, zero1_shardings(self.mesh, grads))
             grad_norm = optax.global_norm(grads)
             new_params, new_opt_state, applied = self._applied_and_update(
                 grads, state.opt_state, state.params, loss
             )
             step = state.step + applied.astype(jnp.int32)
             new_ema = self._ema_map(applied, step, state.ema_params, new_params)
+            if self.zero1:
+                # Pin the state layouts so donation reuses buffers and step N+1
+                # sees the same shardings as step N: moments/EMA stay in the
+                # ZeRO-1 layout (GSPMD partitions their update over `data`),
+                # params come back replicated-over-data (the all-gather of the
+                # per-rank update slices happens HERE, over ICI).
+                wsc = jax.lax.with_sharding_constraint
+                new_params = wsc(new_params, param_shardings(self.mesh, new_params))
+                new_opt_state = wsc(new_opt_state,
+                                    self._opt_state_shardings(state.params))
+                new_ema = wsc(new_ema, zero1_shardings(self.mesh, new_ema))
             new_state = state.replace(
                 step=step, params=new_params, opt_state=new_opt_state,
                 ema_params=new_ema,
@@ -922,11 +972,13 @@ class Trainer:
         # transient 2x-params HBM spike per device and a hidden reshard on the
         # first donated step.
         opt_shardings = self._opt_state_shardings(params)
+        ema_shardings = (zero1_shardings if self.zero1 else param_shardings)(
+            self.mesh, restored.ema_params)
         return TrainState(
             step=jnp.asarray(restored.step),
             params=params,
             opt_state=jax.device_put(restored.opt_state, opt_shardings),
-            ema_params=shard_params(self.mesh, restored.ema_params),
+            ema_params=jax.device_put(restored.ema_params, ema_shardings),
             **kwargs,
         )
 

@@ -284,3 +284,72 @@ def test_init_state_lazy_opt_shardings_and_ema_zeros():
     for a, c in zip(jax.tree.leaves(s_copy.ema_params),
                     jax.tree.leaves(s_zero.ema_params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_zero1_matches_replicated_and_shards_state():
+    """ZeRO-1 (zero1=True) must (a) place every large moment/EMA leaf with a
+    'data' axis in its sharding, (b) produce bit-identical params, EMA and
+    loss vs the replicated layout over two applied steps (the update is the
+    same math, only partitioned over `data`), and (c) keep state shardings
+    stable across steps so donation holds."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(n_model=2)
+    dit = DiT(arch=ARCH, text_num_embeds=8, mel_dim=8)
+    mk = lambda z: Trainer(cfm=CFM(transformer=dit),
+                           optimizer=make_optimizer(total_updates=10),
+                           mesh=mesh, zero1=z)
+    t_rep, t_z1 = mk(False), mk(True)
+    s_rep = t_rep.init_state(jax.random.key(0))
+    s_z1 = t_z1.init_state(jax.random.key(0))
+
+    # moments and EMA carry the data axis wherever a dim divides
+    def has_data(x):
+        spec = getattr(x.sharding, "spec", P())
+        return "data" in tuple(spec)
+    assert any(has_data(x) for x in jax.tree.leaves(s_z1.opt_state))
+    assert any(has_data(x) for x in jax.tree.leaves(s_z1.ema_params))
+    assert not any(has_data(x) for x in jax.tree.leaves(s_rep.opt_state))
+
+    batch = _batch(8)
+    losses = []
+    for i in (1, 2):
+        s_rep, m_rep = t_rep.train_step(s_rep, batch, jax.random.key(i))
+        s_z1, m_z1 = t_z1.train_step(s_z1, batch, jax.random.key(i))
+        losses.append((float(m_rep["loss"]), float(m_z1["loss"])))
+    for lr, lz in losses:
+        assert lr == lz, (lr, lz)
+    # partitioning the update reassociates one float chain: observed max
+    # divergence 4.4e-16 on AdaLN-zero-gated leaves after two steps
+    for a, b_ in zip(jax.tree.leaves(s_rep.params), jax.tree.leaves(s_z1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=0, atol=1e-12)
+    for a, b_ in zip(jax.tree.leaves(s_rep.ema_params),
+                     jax.tree.leaves(s_z1.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=0, atol=1e-12)
+    # layouts stayed pinned after two donated steps
+    for leaf, sh in zip(jax.tree.leaves(s_z1.opt_state),
+                        jax.tree.leaves(t_z1._opt_state_shardings(s_z1.params))):
+        assert leaf.sharding.is_equivalent_to(sh, leaf.ndim)
+
+
+def test_zero1_sharding_helper_specs():
+    """zero1_shardings adds 'data' to the first free divisible dim and leaves
+    TP claims intact; data=1 meshes return the plain param shardings."""
+    from jax.sharding import PartitionSpec as P
+
+    from eraxvif5tts_tpu.parallel.mesh import param_shardings, zero1_shardings
+
+    mesh = make_mesh(n_model=2)  # data=4, model=2
+    params = {
+        "block_0": {"attn": {"to_q": {"kernel": jnp.zeros((64, 64))}}},
+        "norm": {"scale": jnp.zeros((64,))},
+        "tiny": {"bias": jnp.zeros((3,))},  # 3 % 4 != 0 -> stays replicated
+    }
+    z = zero1_shardings(mesh, params)
+    assert tuple(z["block_0"]["attn"]["to_q"]["kernel"].spec) == ("data", "model")
+    assert tuple(z["norm"]["scale"].spec) == ("data",)
+    assert tuple(z["tiny"]["bias"].spec) == ()
+    one = make_mesh(n_data=1, n_model=8)
+    zs = jax.tree.leaves(zero1_shardings(one, params))
+    ps = jax.tree.leaves(param_shardings(one, params))
+    assert all(a.is_equivalent_to(b, 2) for a, b in zip(zs, ps))
