@@ -7,8 +7,15 @@ set -u
 LOG=/tmp/tpu_poll.log
 OUT=/tmp/tpu_battery_r5
 STEPS="wrapper_rtf_e2tts_int8 latency_split_e2tts scan_ab_serve bwd_sweep bwd_sweep2 train_step_new_bwd train_step_decompose_new wrapper_rtf_mmdit first_chunk infill_eval scan_ab_train"
-echo "poll start $(date)" >> "$LOG"
+# Hard deadline (epoch seconds, optional 2nd arg / DEADLINE env): the loop
+# must be gone before the driver's end-of-round bench + multichip dryrun —
+# a stray probe (python + jax import) steals ~30-60 s of the single core.
+DEADLINE=${DEADLINE:-${1:-0}}
+echo "poll start $(date) deadline=$DEADLINE" >> "$LOG"
 while true; do
+  if [ "$DEADLINE" -gt 0 ] && [ "$(date +%s)" -ge "$DEADLINE" ]; then
+    echo "DEADLINE REACHED $(date) — exiting" >> "$LOG"; exit 0
+  fi
   all_done=1
   for s in $STEPS; do [ -s "$OUT/$s.done" ] || all_done=0; done
   if [ "$all_done" = 1 ]; then echo "ALL STEPS DONE $(date)" >> "$LOG"; exit 0; fi
