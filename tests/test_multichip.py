@@ -353,3 +353,29 @@ def test_zero1_sharding_helper_specs():
     zs = jax.tree.leaves(zero1_shardings(one, params))
     ps = jax.tree.leaves(param_shardings(one, params))
     assert all(a.is_equivalent_to(b, 2) for a, b in zip(zs, ps))
+
+
+def test_zero1_with_grad_accumulation():
+    """MultiSteps' running-mean acc_grads are param-shaped state: under zero1
+    they must take the data-sharded layout too, and the 2-microbatch applied
+    update must match the replicated-layout trainer's update."""
+    from jax.sharding import PartitionSpec as P
+
+    mesh = make_mesh(n_model=2)
+    dit = DiT(arch=ARCH, text_num_embeds=8, mel_dim=8)
+    mk = lambda z: Trainer(cfm=CFM(transformer=dit),
+                           optimizer=make_optimizer(total_updates=10),
+                           mesh=mesh, zero1=z, grad_accumulation_steps=2)
+    t_rep, t_z1 = mk(False), mk(True)
+    s_rep = t_rep.init_state(jax.random.key(0))
+    s_z1 = t_z1.init_state(jax.random.key(0))
+    assert any("data" in tuple(getattr(x.sharding, "spec", P()))
+               for x in jax.tree.leaves(s_z1.opt_state))
+    batch = _batch(8)
+    for i in (1, 2):  # micro, then applied
+        s_rep, m_rep = t_rep.train_step(s_rep, batch, jax.random.key(i))
+        s_z1, m_z1 = t_z1.train_step(s_z1, batch, jax.random.key(i))
+        assert float(m_rep["applied"]) == float(m_z1["applied"]) == float(i == 2)
+    assert int(s_z1.step) == 1
+    for a, b_ in zip(jax.tree.leaves(s_rep.params), jax.tree.leaves(s_z1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=0, atol=1e-12)
