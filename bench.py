@@ -78,6 +78,8 @@ def main():
                     choices=["float32", "bfloat16", "int8"])
     args = ap.parse_args()
 
+    import os
+
     import jax
 
     if args.smoke:
@@ -85,6 +87,12 @@ def main():
         # jax_platforms="axon,cpu" (env JAX_PLATFORMS is ignored) and a downed
         # tunnel HANGS backend init rather than failing over — force cpu here
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: remote TPU compiles of the full Euler program
+    # are minutes cold; a warm cache makes repeated bench runs start in seconds
+    # (same default scheme as __graft_entry__.dryrun_multichip).
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/tmp/jax_tpu_cache"))
 
     import jax.numpy as jnp
 
